@@ -1,0 +1,145 @@
+"""Configuration system for pcf_tpu.
+
+YAML-driven config with layered default-fillers, mirroring the reference's
+config surface (reference: model_architecture.py:13-77 for model defaults,
+train_ScanNet_DDP_WarmUP.py:34-75 for training defaults). The same YAML keys
+used by the reference configs (configs/*.yaml) are accepted here.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+import yaml
+
+
+class Config(dict):
+    """A dict with attribute access (standalone replacement for easydict)."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __delattr__(self, name: str) -> None:
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        out = cls()
+        for k, v in d.items():
+            out[k] = cls.from_dict(v) if isinstance(v, dict) else v
+        return out
+
+    def copy(self) -> "Config":
+        return Config.from_dict(copy.deepcopy(dict(self)))
+
+
+def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> Config:
+    """Model-architecture defaults (reference: model_architecture.py:13-77).
+
+    Keys and default values match the reference so its YAML configs drop in.
+    TPU-specific keys are added at the end with conservative defaults.
+    """
+    cfg.num_level = num_level
+    cfg.base_dim = base_dim
+    if "feat_dim" not in cfg:
+        cfg.feat_dim = [base_dim * (i + 1) for i in range(cfg.num_level + 1)]
+    # Viewpoint-invariant coordinate transform (Li et al., WACV 2023)
+    cfg.setdefault("USE_VI", True)
+    # Concatenate positional encoding into features for the first-level conv
+    cfg.setdefault("USE_PE", False)
+    cfg.setdefault("transformer_type", "PCF")
+    # 'subtraction' or QK-style attention in the guidance
+    cfg.setdefault("attention_type", "subtraction")
+    cfg.setdefault("layer_norm_guidance", False)
+    cfg.setdefault("drop_path_rate", 0.0)
+    cfg.setdefault("BATCH_NORM", True)
+    cfg.setdefault("dropout_rate", 0.0)
+    cfg.setdefault("TIME", False)
+    cfg.setdefault("USE_XYZ", True)
+    cfg.setdefault("point_dim", 3)
+    # c_mid of the decoder WeightNets
+    cfg.setdefault("mid_dim_back", 1)
+    # Full-resolution PointConvs at level 1 (vs a single MLP)
+    cfg.setdefault("use_level_1", True)
+    # TPU analog of the reference's USE_CUDA_KERNEL / PCONV_OPT flags:
+    # select the Pallas fused kernels over the XLA reference einsum path.
+    # (reference: model_architecture.py:71-76; layer_utils.py:42-173)
+    cfg.setdefault("USE_CUDA_KERNEL", False)   # accepted for YAML parity
+    cfg.setdefault("PCONV_OPT", False)         # accepted for YAML parity
+    cfg.setdefault("USE_PALLAS_KERNEL", bool(cfg.get("USE_CUDA_KERNEL", False)
+                                             or cfg.get("PCONV_OPT", False)))
+    cfg.setdefault("dropout_fc", 0.0)
+    cfg.setdefault("num_classes", 20)
+    # Numerics: compute dtype for matmul-heavy paths ('bfloat16' or 'float32').
+    cfg.setdefault("compute_dtype", "float32")
+    return cfg
+
+
+def get_default_training_cfgs(cfg: Config) -> Config:
+    """Training/augmentation defaults (reference: train_ScanNet_DDP_WarmUP.py:34-75)."""
+    cfg.setdefault("label_smoothing", False)
+    cfg.setdefault("accum_iter", 1)
+    cfg.setdefault("rotate_aug", True)
+    cfg.setdefault("flip_aug", False)
+    cfg.setdefault("scale_aug", True)
+    cfg.setdefault("transform_aug", False)
+    cfg.setdefault("color_aug", True)
+    cfg.setdefault("crop", False)
+    cfg.setdefault("shuffle_index", True)
+    cfg.setdefault("mix3D", False)
+    # kNN after batching, on device (reference: knn_post_dataloader_utils.py)
+    cfg.setdefault("post_knn", False)
+    cfg.setdefault("USE_WEIGHT", True)
+    cfg.setdefault("ignore_label", -100)
+    cfg.setdefault("optimizer", "AdamW")
+    cfg.setdefault("learning_rate", 0.02)
+    cfg.setdefault("adamw_decay", 0.05)
+    cfg.setdefault("decay_rate", 0.0001)
+    cfg.setdefault("gamma", 0.5)
+    cfg.setdefault("scheduler", "MultiStepWithWarmup")
+    cfg.setdefault("scheduler_update", "step")
+    cfg.setdefault("warmup", "linear")
+    cfg.setdefault("warmup_epochs", 10)
+    cfg.setdefault("warmup_ratio", 1e-5)
+    cfg.setdefault("milestones", None)
+    cfg.setdefault("total_epoches", 300)
+    cfg.setdefault("grad_clip_norm", 10.0)
+    cfg.setdefault("sync_bn", False)
+    cfg.setdefault("manual_seed", 1)
+    cfg.setdefault("BATCH_SIZE", 8)
+    cfg.setdefault("NUM_WORKERS", 0)
+    cfg.setdefault("MAX_POINTS_NUM", 550000)
+    cfg.setdefault("print_freq", 5)
+    cfg.setdefault("eval_freq", 5)
+    cfg.setdefault("save_freq", 5)
+    cfg.setdefault("use_tensorboard", False)
+    # --- TPU-specific batching knobs (no reference analog: static shapes) ---
+    # Per-level padded capacities are rounded up to a multiple of this bucket
+    # size to bound recompilation (see pcf_tpu/core/batching.py).
+    cfg.setdefault("bucket_multiple", 8192)
+    # Number of data-parallel shards (mesh size); None = all local devices.
+    cfg.setdefault("data_parallel", None)
+    return cfg
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config and fill model+training defaults.
+
+    Mirrors get_parser() in the reference trainer (train_ScanNet_DDP_WarmUP.py:79-104).
+    """
+    with open(path, "r") as f:
+        cfg = Config.from_dict(yaml.safe_load(f))
+    cfg = get_default_configs(cfg, cfg.get("num_level", 5), cfg.get("base_dim", 64))
+    cfg = get_default_training_cfgs(cfg)
+    cfg.config = path
+    return cfg
