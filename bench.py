@@ -1,0 +1,77 @@
+"""Benchmark: PCF_Normal-scale segmentation inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: the flagship PointConvFormer_Segmentation (PCF_Normal capacity
+grid: 5 levels, heads 8, resblocks [0,2,4,6,6], mid_dim 16 —
+model_architecture.py:298-318) eval forward on a packed batch of synthetic
+indoor-like scenes at 10cm-scale density; metric is valid points/sec.
+
+vs_baseline: ratio against REF_A100_PTS_PER_SEC — a provisional estimate of
+the PyTorch reference's A100 eval throughput on ScanNet 10cm (the repo
+publishes no number, BASELINE.md; estimate = ~25k-point scenes at ~60ms/scene
+with the CUTLASS fused forward). The north-star target is 2.0x this value
+(BASELINE.json). Replace with a measured number when one exists.
+"""
+
+import json
+import time
+
+REF_A100_PTS_PER_SEC = 0.42e6  # provisional; see module docstring
+
+
+def main():
+    import jax
+
+    # persistent cache so repeated driver runs skip the long first compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pcf_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship
+    from pcf_tpu.models import PointConvFormer_Segmentation
+
+    cfg, batch = _flagship(level0_points=20000, bucket=4096, n_scenes=2)
+    model = PointConvFormer_Segmentation(cfg)
+    args = (batch.feats, list(batch.points), list(batch.edges_self),
+            list(batch.edges_forward), list(batch.edges_propagate),
+            list(batch.norms))
+    vs = jax.jit(
+        lambda k, f: model.init(k, f, *args[1:], masks=list(batch.masks),
+                                train=False)
+    )(jax.random.PRNGKey(0), batch.feats)
+    # calibrate BN running stats with one train-mode pass: freshly initialized
+    # running stats (mean 0 / var 1) leave eval activations unnormalized and
+    # overflowing — same as torch BN at init
+    _, upd = jax.jit(
+        lambda v, f: model.apply(v, f, *args[1:], masks=list(batch.masks),
+                                 train=True, mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+    )(vs, batch.feats)
+    vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
+
+    fwd = jax.jit(lambda v, f: model.apply(v, f, *args[1:],
+                                           masks=list(batch.masks), train=False))
+    out = fwd(vs, batch.feats)
+    out.block_until_ready()  # compile
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = fwd(vs, batch.feats)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    valid_points = int(batch.masks[0].sum())
+    pts_per_sec = valid_points / dt
+    print(json.dumps({
+        "metric": "PCF_Normal 10cm eval throughput (synthetic scenes, 1 chip)",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(pts_per_sec / REF_A100_PTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

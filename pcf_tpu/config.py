@@ -33,14 +33,20 @@ class Config(dict):
             raise AttributeError(name) from e
 
     @classmethod
-    def from_dict(cls, d: dict) -> "Config":
+    def from_dict(cls, d) -> "Config":
         out = cls()
         for k, v in d.items():
-            out[k] = cls.from_dict(v) if isinstance(v, dict) else v
+            out[k] = cls.from_dict(v) if hasattr(v, "items") else v
         return out
 
     def copy(self) -> "Config":
         return Config.from_dict(copy.deepcopy(dict(self)))
+
+
+def as_config(cfg) -> "Config":
+    """Rehydrate a Config from any Mapping (flax stores dict module attributes
+    as FrozenDicts, which lack attribute access)."""
+    return cfg if isinstance(cfg, Config) else Config.from_dict(cfg)
 
 
 def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> Config:
@@ -82,6 +88,9 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     cfg.setdefault("num_classes", 20)
     # Numerics: compute dtype for matmul-heavy paths ('bfloat16' or 'float32').
     cfg.setdefault("compute_dtype", "float32")
+    # Compile repeated residual blocks once via lax.scan over stacked params
+    # (pcf_tpu/nn/resstack.py) instead of unrolling; large compile-time win.
+    cfg.setdefault("scan_resblocks", True)
     return cfg
 
 

@@ -1,0 +1,159 @@
+"""Static-shape packed batching for variable-size point-cloud pyramids.
+
+The reference packs variable-size clouds into one [1, sum(N), C] tensor with
+offset neighbor indices (datasetCommon.py:215-309 listToBatch). XLA requires
+static shapes, so this module keeps the packed layout but pads every pyramid
+level to a bucketed capacity and carries explicit validity masks + per-point
+cloud ids. Masks feed BatchNorm/loss/metrics; cloud ids keep on-device kNN
+within cloud boundaries. Padded rows have neighbor index 0 (clamped gathers
+make this safe) and label = ignore_label.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class PackedPyramid:
+    """One packed, padded multi-scene batch. All leaves are jnp arrays.
+
+    feats: [N0, C]; labels: [N0] int32; per level l:
+    points[l] [Nl, 3], norms[l] [Nl, 3], masks[l] [Nl] bool, bids[l] [Nl] int32,
+    edges_self[l] [Nl, K]; edges_forward[l] [N(l+1), K] (into level l);
+    edges_propagate[l] [Nl, K] (into level l+1).
+    """
+
+    feats: jnp.ndarray
+    labels: jnp.ndarray
+    points: tuple
+    norms: tuple
+    masks: tuple
+    bids: tuple
+    edges_self: tuple
+    edges_forward: tuple
+    edges_propagate: tuple
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.points)
+
+
+def round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def compute_level_caps(level_sizes: Sequence[int], bucket_multiple: int = 8192,
+                       min_cap: int = 256) -> list[int]:
+    """Bucketed per-level capacities: round each level's packed size up so
+    recompilation only happens when a batch crosses a bucket boundary."""
+    caps = []
+    for s in level_sizes:
+        m = max(min_cap, bucket_multiple)
+        # geometric buckets below the multiple for small levels
+        if s <= min_cap:
+            caps.append(min_cap)
+        elif s < m:
+            c = min_cap
+            while c < s:
+                c *= 2
+            caps.append(c)
+        else:
+            caps.append(round_up(s, m))
+    return caps
+
+
+def _pad_rows(arr: np.ndarray, cap: int, value=0) -> np.ndarray:
+    pad = [(0, cap - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad, constant_values=value)
+
+
+def pack_scenes(
+    scenes: Sequence[dict],
+    level_caps: Sequence[int] | None = None,
+    bucket_multiple: int = 8192,
+    ignore_label: int = -100,
+) -> PackedPyramid:
+    """Pack per-scene pyramids (dicts from subsample_and_knn) into one padded batch.
+
+    Each scene dict holds: 'feature_list' [N0, C], optional 'label_list' [N0],
+    'point_list' / 'surface_normal_list' per level, and the three edge lists
+    'nei_self_list' / 'nei_forward_list' / 'nei_propagate_list'.
+    (Same keys as the reference dataloader items, scannet_data_loader:267-281.)
+    """
+    n_levels = len(scenes[0]["point_list"])
+    # packed (pre-padding) sizes per level
+    sizes = [sum(s["point_list"][l].shape[0] for s in scenes) for l in range(n_levels)]
+    if level_caps is None:
+        level_caps = compute_level_caps(sizes, bucket_multiple)
+    assert all(c >= s for c, s in zip(level_caps, sizes)), (level_caps, sizes)
+
+    points, norms, masks, bids = [], [], [], []
+    edges_self, edges_forward, edges_propagate = [], [], []
+
+    for lvl in range(n_levels):
+        offs = np.cumsum([0] + [s["point_list"][lvl].shape[0] for s in scenes])
+        pts = np.concatenate([s["point_list"][lvl] for s in scenes], 0).astype(np.float32)
+        nrm = np.concatenate([s["surface_normal_list"][lvl] for s in scenes], 0).astype(np.float32)
+        bid = np.concatenate(
+            [np.full(s["point_list"][lvl].shape[0], i, np.int32) for i, s in enumerate(scenes)]
+        )
+        cap = level_caps[lvl]
+        mask = np.zeros(cap, bool)
+        mask[: pts.shape[0]] = True
+        # Padded coords are 0 (NOT a far-away sentinel): huge sentinel values
+        # overflow bf16 matmuls on padded rows into NaN, and NaN*0 poisons
+        # parameter grads through BN reductions. kNN/stat exclusion of padding
+        # is handled by masks/bids, never by coordinate magnitude.
+        pts_pad = _pad_rows(pts, cap, value=0.0)
+        points.append(jnp.asarray(pts_pad))
+        norms.append(jnp.asarray(_pad_rows(nrm, cap)))
+        masks.append(jnp.asarray(mask))
+        bids.append(jnp.asarray(_pad_rows(bid, cap, value=-1)))
+
+        es = np.concatenate(
+            [s["nei_self_list"][lvl] + offs[i] for i, s in enumerate(scenes)], 0
+        ).astype(np.int32)
+        edges_self.append(jnp.asarray(_pad_rows(es, cap)))
+
+        if lvl < n_levels - 1:
+            # forward edges live at level lvl+1 and index into level lvl
+            ef = np.concatenate(
+                [s["nei_forward_list"][lvl] + offs[i] for i, s in enumerate(scenes)], 0
+            ).astype(np.int32)
+            edges_forward.append((ef, level_caps[lvl + 1]))
+            # propagate edges live at level lvl and index into level lvl+1
+            offs_next = np.cumsum(
+                [0] + [s["point_list"][lvl + 1].shape[0] for s in scenes])
+            ep = np.concatenate(
+                [s["nei_propagate_list"][lvl] + offs_next[i] for i, s in enumerate(scenes)], 0
+            ).astype(np.int32)
+            edges_propagate.append(jnp.asarray(_pad_rows(ep, cap)))
+
+    edges_forward = tuple(
+        jnp.asarray(_pad_rows(ef, cap_next)) for ef, cap_next in edges_forward
+    )
+
+    feats = np.concatenate([s["feature_list"] for s in scenes], 0).astype(np.float32)
+    feats = jnp.asarray(_pad_rows(feats, level_caps[0]))
+    if "label_list" in scenes[0]:
+        labels = np.concatenate([s["label_list"] for s in scenes], 0).astype(np.int32)
+    else:
+        labels = np.zeros(sizes[0], np.int32)
+    labels = jnp.asarray(_pad_rows(labels.reshape(-1), level_caps[0], value=ignore_label))
+
+    return PackedPyramid(
+        feats=feats,
+        labels=labels,
+        points=tuple(points),
+        norms=tuple(norms),
+        masks=tuple(masks),
+        bids=tuple(bids),
+        edges_self=tuple(edges_self),
+        edges_forward=edges_forward,
+        edges_propagate=tuple(edges_propagate),
+    )

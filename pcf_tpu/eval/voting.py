@@ -1,0 +1,181 @@
+"""Voting (test-time-augmentation) ScanNet evaluation.
+
+Rebuild of test_ScanNet_voting.py: for each of vote_num fixed rotations, the
+scene is voxelized in 'multiple' mode so every raw point appears in at least
+one covering set (util/voxelize.py:71-77); each covering set is chunked to
+MAX_POINTS_NUM (collect_fn_test, test_ScanNet_voting.py:35-73), predicted,
+and softmax probs are scatter-accumulated into the full-resolution cloud via
+the crop indices (:233-249); votes average across rotations (:261-269).
+
+Usage:
+  python -m pcf_tpu.eval.voting --config <yaml> --pretrain_path <ckpt> \
+      [--vote_num 8] [--init_deg 0.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from pcf_tpu.config import load_config
+from pcf_tpu.utils.logger import get_logger
+
+
+def _chunk_item(item: dict, max_points: int):
+    """Split one covering-set item into <= max_points chunks by point order
+    (reference collect_fn_test semantics)."""
+    n = item["point_list"][0].shape[0]
+    if n <= max_points:
+        return [item]
+    chunks = []
+    for s in range(0, n, max_points):
+        e = min(s + max_points, n)
+        sub = dict(item)
+        sub["crop_idx"] = item["crop_idx"][s:e]
+        sub["_slice"] = (s, e)
+        chunks.append(sub)
+    return chunks
+
+
+def evaluate_voting(cfg, pretrain_path: str | None = None,
+                    split: str = "validation", vote_num: int = 8,
+                    init_deg: float = 0.0, state=None,
+                    max_scenes: int | None = None, write_outputs: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from pcf_tpu.core.batching import pack_scenes
+    from pcf_tpu.data.pyramid import scene_to_item
+    from pcf_tpu.data.scannet import ScanNetDataset
+    from pcf_tpu.eval.io import write_labels_txt, write_ply_color
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.train.checkpoint import CheckpointManager
+    from pcf_tpu.train.metrics import intersection_and_union
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    eval_dir = cfg.get("eval_path", "./evaluation_voting")
+    os.makedirs(eval_dir, exist_ok=True)
+    logger = get_logger(eval_dir)
+
+    model = PointConvFormer_Segmentation(cfg)
+
+    @jax.jit
+    def fwd(variables, feats, points, edges_self, edges_forward,
+            edges_propagate, norms, masks):
+        logits = model.apply(variables, feats, points, edges_self,
+                             edges_forward, edges_propagate, norms,
+                             masks=masks, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    variables = None
+    if state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # one dataset per rotation vote (reference: test_ScanNet_voting.py:202-212)
+    datasets = [
+        ScanNetDataset(cfg, split=split, rotate_deg=init_deg + v / vote_num,
+                       voxelize_mode="multiple", seed=cfg.manual_seed)
+        for v in range(vote_num)
+    ]
+    n_scenes = len(datasets[0]) if max_scenes is None else min(
+        max_scenes, len(datasets[0]))
+
+    inter_sum = np.zeros(cfg.num_classes)
+    union_sum = np.zeros(cfg.num_classes)
+    target_sum = np.zeros(cfg.num_classes)
+
+    for idx in range(n_scenes):
+        raw_n = datasets[0].raw_coord(idx).shape[0]
+        accum = np.zeros((raw_n, cfg.num_classes), np.float64)
+        counts = np.zeros(raw_n, np.float64)
+
+        for ds in datasets:
+            all_data = ds[idx]  # list of covering-set items
+            for item in all_data:
+                for chunk in _chunk_item(item, cfg.MAX_POINTS_NUM):
+                    if "_slice" in chunk:
+                        s, e = chunk.pop("_slice")
+                        sub = {
+                            k: ([a[s:e] if i == 0 else a for i, a in enumerate(v)]
+                                if isinstance(v, list) else v[s:e])
+                            for k, v in item.items() if k != "crop_idx"
+                        }
+                        # rebuild pyramid for the chunk
+                        sub_item = scene_to_item(
+                            item["point_list"][0][s:e],
+                            item["surface_normal_list"][0][s:e],
+                            item["feature_list"][s:e],
+                            item["label_list"][s:e],
+                            cfg.grid_size, cfg.get("K_self", 16),
+                            cfg.get("K_forward", 16), cfg.get("K_propagate", 16))
+                        chunk_item = sub_item
+                        crop_idx = chunk["crop_idx"]
+                    else:
+                        chunk_item = {k: v for k, v in chunk.items()
+                                      if k != "crop_idx"}
+                        crop_idx = chunk["crop_idx"]
+
+                    batch = pack_scenes([chunk_item],
+                                        bucket_multiple=cfg.bucket_multiple,
+                                        ignore_label=cfg.ignore_label)
+                    if variables is None:
+                        variables = jax.jit(lambda k: model.init(
+                            k, batch.feats, list(batch.points),
+                            list(batch.edges_self), list(batch.edges_forward),
+                            list(batch.edges_propagate), list(batch.norms),
+                            masks=list(batch.masks), train=False)
+                        )(jax.random.PRNGKey(0))
+                        if pretrain_path:
+                            tx, _ = make_optimizer(cfg, 1)
+                            template = create_train_state(variables, tx)
+                            restored, ep = CheckpointManager(pretrain_path).restore(template)
+                            variables = {"params": restored.params,
+                                         "batch_stats": restored.batch_stats}
+                            logger.info(f"restored {pretrain_path} (epoch {ep})")
+
+                    probs = fwd(variables, batch.feats, list(batch.points),
+                                list(batch.edges_self), list(batch.edges_forward),
+                                list(batch.edges_propagate), list(batch.norms),
+                                list(batch.masks))
+                    valid = np.asarray(batch.masks[0])
+                    accum[crop_idx] += np.asarray(probs)[valid]
+                    counts[crop_idx] += 1.0
+
+        assert counts.min() > 0, "voting must cover every raw point"
+        pred = accum.argmax(-1)
+        raw_labels = datasets[0].data[idx][3]
+        i, u, t = intersection_and_union(
+            jnp.asarray(pred), jnp.asarray(raw_labels), cfg.num_classes,
+            cfg.ignore_label)
+        inter_sum += np.asarray(i)
+        union_sum += np.asarray(u)
+        target_sum += np.asarray(t)
+
+        name = os.path.basename(str(datasets[0].scene_name(idx)))
+        if write_outputs:
+            np.save(os.path.join(eval_dir, f"{name}_probs.npy"),
+                    (accum / np.maximum(counts[:, None], 1)).astype(np.float32))
+            write_ply_color(os.path.join(eval_dir, f"{name}.ply"),
+                            datasets[0].raw_coord(idx), pred)
+            write_labels_txt(os.path.join(eval_dir, f"{name}.txt"), pred)
+        logger.info(f"{idx + 1}/{n_scenes} {name}: {raw_n} raw pts, "
+                    f"miou so far {np.mean(inter_sum / np.maximum(union_sum, 1)):.4f}")
+
+    iou = inter_sum / np.maximum(union_sum, 1)
+    miou = float(iou.mean())
+    logger.info(f"Voting mIoU ({vote_num} votes): {miou:.4f}")
+    return miou
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser("pcf_tpu voting eval")
+    p.add_argument("--config", required=True)
+    p.add_argument("--pretrain_path", default=None)
+    p.add_argument("--split", default="validation")
+    p.add_argument("--vote_num", type=int, default=8)
+    p.add_argument("--init_deg", type=float, default=0.0)
+    a = p.parse_args()
+    evaluate_voting(load_config(a.config), a.pretrain_path, a.split,
+                    a.vote_num, a.init_deg)

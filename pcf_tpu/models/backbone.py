@@ -1,0 +1,156 @@
+"""PCF encoder backbone.
+
+Reference: model_architecture.py:80-245. A multi-resolution encoder over the
+point pyramid: level-1 PointConvs (or a single MLP), then per level a strided
+PCFLayer/PointConvStridePE + residual blocks. VI features are computed once
+per stage and reused across that stage's residual blocks
+(model_architecture.py:221-241).
+
+Inputs are the packed pyramid WITHOUT the dummy batch dim:
+  features [N0, C], pointclouds[l] [Nl, 3], edges_self[l] [Nl, K],
+  edges_forward[l] [N(l+1), K], norms[l] [Nl, 3], masks[l] [Nl] bool.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pcf_tpu.nn.layers import (
+    PCFLayer,
+    PointConv,
+    PointConvStridePE,
+    PointTransformerLayer,
+    _localize,
+)
+from pcf_tpu.nn.norm import LinearBN
+from pcf_tpu.nn.resstack import ResBlockStack
+from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.vi_transform import VI_coordinate_transform
+from pcf_tpu.config import as_config
+
+
+def _self_vi_features(xyz, nei_inds, norms):
+    """VI features for same-level (self-edge) blocks, computed once per stage
+    (the reference computes them in the first residual block and reuses,
+    model_architecture.py:221-241)."""
+    _, localized = _localize(xyz, nei_inds, xyz)
+    gathered_norm = index_points(norms, nei_inds)
+    return VI_coordinate_transform(localized, gathered_norm, norms)
+
+
+class PCF_Backbone(nn.Module):
+    cfg: Any
+    input_feat_dim: int = 3
+
+    @nn.compact
+    def __call__(self, features, pointclouds, edges_self, edges_forward, norms,
+                 masks=None, train: bool = False):
+        cfg = as_config(self.cfg)
+        total_level = cfg.num_level
+        guided_level = cfg.guided_level
+        if masks is None:
+            masks = [None] * total_level
+
+        wni_dim = cfg.point_dim + 9 if cfg.USE_VI else cfg.point_dim
+        in_feat_dim = self.input_feat_dim + 3 if cfg.USE_XYZ else self.input_feat_dim
+
+        pointwise_feat = (
+            jnp.concatenate([features, pointclouds[0]], axis=-1)
+            if cfg.USE_XYZ else features
+        )
+
+        if cfg.use_level_1:
+            # full-resolution convs (helpful at 5/10cm, model_architecture.py:114-123)
+            pointwise_feat, vi_features = PointConv(
+                in_feat_dim, cfg.base_dim, cfg, (wni_dim, cfg.mid_dim[0]),
+                name="selfpointconv")(
+                pointclouds[0], pointwise_feat, edges_self[0], norms[0],
+                dense_mask=masks[0], train=train)
+            if cfg.get("scan_resblocks", True):
+                pointwise_feat = ResBlockStack(
+                    PointConvStridePE, 2, cfg.base_dim, cfg,
+                    (wni_dim, cfg.mid_dim[0]), name="selfpointconv_res")(
+                    pointclouds[0], pointwise_feat, edges_self[0], norms[0],
+                    vi_features=vi_features if cfg.USE_VI else None,
+                    mask=masks[0], train=train)
+            else:
+                for j in (1, 2):
+                    pointwise_feat, _ = PointConvStridePE(
+                        cfg.base_dim, cfg.base_dim, cfg, (wni_dim, cfg.mid_dim[0]),
+                        name=f"selfpointconv_res{j}")(
+                        pointclouds[0], pointwise_feat, edges_self[0], norms[0],
+                        vi_features=vi_features if cfg.USE_VI else None,
+                        dense_mask=masks[0], train=train)
+        else:
+            pointwise_feat = nn.relu(
+                LinearBN(cfg.base_dim, use_bn=cfg.BATCH_NORM,
+                         axis_name=cfg.get("bn_axis_name"), name="selfmlp")(
+                    pointwise_feat, mask=masks[0], train=train))
+
+        feat_list = [pointwise_feat]
+        for i in range(1, total_level):
+            in_ch = cfg.feat_dim[i - 1]
+            out_ch = cfg.feat_dim[i]
+            weightnet = (wni_dim, cfg.mid_dim[i])
+
+            # strided (downsampling) conv: level i-1 -> i
+            if i <= guided_level:
+                sparse_feat, _ = PointConvStridePE(
+                    in_ch, out_ch, cfg, weightnet, name=f"pointconv_{i-1}")(
+                    pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
+                    norms[i - 1], pointclouds[i], norms[i],
+                    dense_mask=masks[i - 1], sparse_mask=masks[i], train=train)
+            elif cfg.transformer_type == "PCF":
+                sparse_feat, _ = PCFLayer(
+                    in_ch, out_ch, cfg, weightnet, cfg.num_heads,
+                    name=f"pointconv_{i-1}")(
+                    pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
+                    norms[i - 1], pointclouds[i], norms[i],
+                    dense_mask=masks[i - 1], sparse_mask=masks[i], train=train)
+            else:
+                sparse_feat = PointTransformerLayer(
+                    in_ch, out_ch, cfg, cfg.num_heads, name=f"pointconv_{i-1}")(
+                    pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
+                    pointclouds[i], dense_mask=masks[i - 1], sparse_mask=masks[i],
+                    train=train)
+
+            # residual blocks at level i; VI features computed once per stage
+            if cfg.transformer_type != "PCF" and i > guided_level:
+                for j in range(cfg.resblocks[i]):
+                    sparse_feat = PointTransformerLayer(
+                        out_ch, out_ch, cfg, cfg.num_heads,
+                        name=f"pointconv_res_{i-1}_{j}")(
+                        pointclouds[i], sparse_feat, edges_self[i],
+                        dense_mask=masks[i], train=train)
+            elif cfg.resblocks[i] > 0:
+                block_cls = PointConvStridePE if i <= guided_level else PCFLayer
+                vi_features = (
+                    _self_vi_features(pointclouds[i], edges_self[i], norms[i])
+                    if cfg.USE_VI else None)
+                if cfg.get("scan_resblocks", True):
+                    sparse_feat = ResBlockStack(
+                        block_cls, cfg.resblocks[i], out_ch, cfg, weightnet,
+                        cfg.num_heads, name=f"pointconv_res_{i-1}")(
+                        pointclouds[i], sparse_feat, edges_self[i], norms[i],
+                        vi_features=vi_features, mask=masks[i], train=train)
+                else:
+                    for j in range(cfg.resblocks[i]):
+                        if block_cls is PCFLayer:
+                            block = PCFLayer(out_ch, out_ch, cfg, weightnet,
+                                             cfg.num_heads,
+                                             name=f"pointconv_res_{i-1}_{j}")
+                        else:
+                            block = PointConvStridePE(
+                                out_ch, out_ch, cfg, weightnet,
+                                name=f"pointconv_res_{i-1}_{j}")
+                        sparse_feat, _ = block(
+                            pointclouds[i], sparse_feat, edges_self[i], norms[i],
+                            vi_features=vi_features, dense_mask=masks[i],
+                            train=train)
+
+            feat_list.append(sparse_feat)
+
+        return feat_list

@@ -1,0 +1,455 @@
+"""PointConv / PointConvFormer layers (flax).
+
+Functional JAX re-design of the reference's layers.py. All layers operate on
+the packed point layout without the dummy batch dim: coordinates [N, 3],
+features [N, C], neighbor indices [M, K] (M = #output points; M < N for
+strided layers). Validity masks for the padded static-shape batches are
+threaded into every BatchNorm so padding never pollutes statistics.
+
+Layer map (reference file:line):
+  PointConv            layers.py:744-906   first-level conv, no bottleneck
+  PointConvStridePE    layers.py:542-741   bottleneck + PE + residual
+  PCFLayer             layers.py:194-416   guidance-modulated conv (the PCF block)
+  PointConvTransposePE layers.py:909-1105  decoder upsampling conv
+  PointTransformerLayer layers.py:419-539  ablation alternative
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.pconv import pconv, guided_contraction
+from pcf_tpu.ops.vi_transform import VI_coordinate_transform
+from pcf_tpu.nn.norm import LinearBN, UnaryBlock
+from pcf_tpu.nn.weightnet import WeightNet
+from pcf_tpu.nn.guidance import MultiHeadGuidance, MultiHeadGuidanceQK
+from pcf_tpu.config import as_config
+
+
+class DropPath(nn.Module):
+    """Stochastic depth on the residual branch (reference uses timm DropPath,
+    layers.py:237-238). The packed layout has no real batch dim, so the drop
+    decision is made per point; rate is 0.0 in all shipped configs."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, shape=(x.shape[0],) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, x / keep, 0.0)
+
+
+def _localize(dense_xyz, nei_inds, center_xyz):
+    """gathered neighbor coords minus the center: [M, K, 3]."""
+    gathered_xyz = index_points(dense_xyz, nei_inds)
+    return gathered_xyz, gathered_xyz - center_xyz[:, None, :]
+
+
+def _weightnet_input(cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm,
+                     vi_features):
+    """VI features (12-d) or raw relative coords (3-d), with per-stage caching
+    (reference: layers.py:346-358)."""
+    if cfg.USE_VI:
+        if vi_features is not None:
+            return vi_features
+        gathered_norm = index_points(dense_xyz_norm, nei_inds)
+        return VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
+    return localized_xyz
+
+
+class PointConv(nn.Module):
+    """First-layer (VI-)PointConv without bottleneck (layers.py:744-906)."""
+
+    in_channel: int
+    out_channel: int
+    cfg: Any
+    weightnet: Sequence[int] = (9, 16)
+    USE_VI: Optional[bool] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        dense_xyz,
+        dense_feats,
+        nei_inds,
+        dense_xyz_norm=None,
+        sparse_xyz=None,
+        sparse_xyz_norm=None,
+        dense_mask=None,
+        sparse_mask=None,
+        train: bool = False,
+    ):
+        cfg = as_config(self.cfg)
+        use_vi = cfg.USE_VI if self.USE_VI is None else self.USE_VI
+        center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
+        center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
+        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+
+        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        if use_vi:
+            gathered_norm = index_points(dense_xyz_norm, nei_inds)
+            weightNetInput = VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
+        else:
+            weightNetInput = localized_xyz
+
+        weights = WeightNet(self.weightnet[1], efficient=True,
+                            use_bn=cfg.BATCH_NORM, axis_name=cfg.get("bn_axis_name"),
+                            name="weightnet")(weightNetInput, mask=out_mask, train=train)
+
+        gathered_feat = index_points(dense_feats, nei_inds)  # [M, K, Cin]
+        if cfg.USE_PE:
+            gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
+
+        new_feat = pconv(gathered_feat, weights)  # [M, last_ch * C_mid]
+        new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+                            axis_name=cfg.get("bn_axis_name"),
+                            name="linear")(new_feat, mask=out_mask, train=train)
+        new_feat = nn.relu(new_feat)
+        if cfg.dropout_rate > 0.0:
+            new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
+        return new_feat, weightNetInput
+
+
+class PointConvStridePE(nn.Module):
+    """Bottlenecked PointConv with positional encoding and residual shortcut
+    (layers.py:542-741). Used both as the strided downsampling conv and as a
+    same-resolution residual block."""
+
+    in_channel: int
+    out_channel: int
+    cfg: Any
+    weightnet: Sequence[int] = (9, 16)
+
+    @nn.compact
+    def __call__(
+        self,
+        dense_xyz,
+        dense_feats,
+        nei_inds,
+        dense_xyz_norm=None,
+        sparse_xyz=None,
+        sparse_xyz_norm=None,
+        vi_features=None,
+        dense_mask=None,
+        sparse_mask=None,
+        train: bool = False,
+    ):
+        cfg = as_config(self.cfg)
+        center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
+        center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
+        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+        axis_name = cfg.get("bn_axis_name")
+
+        # First downscaling mlp (bottleneck)
+        if self.in_channel != self.out_channel // 4:
+            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True,
+                                 axis_name=axis_name, name="unary1")(
+                dense_feats, mask=dense_mask, train=train)
+        else:
+            feats_x = dense_feats
+
+        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        weightNetInput = _weightnet_input(
+            cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm, vi_features)
+
+        # positional encoding branch (layers.py:575-577,669)
+        last_ch = min(self.out_channel // 4, 32)
+        feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
+                            efficient=True, use_bn=cfg.BATCH_NORM,
+                            axis_name=axis_name, name="pe_convs")(
+            localized_xyz, mask=out_mask, train=train)
+
+        weights = WeightNet(self.weightnet[1], efficient=True,
+                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            name="weightnet")(weightNetInput, mask=out_mask, train=train)
+
+        gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+        new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
+        new_feat = pconv(new_feat, weights)  # [M, (out/4+last_ch)*C_mid]
+
+        new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                            axis_name=axis_name, name="linear")(
+            new_feat, mask=out_mask, train=train)
+        new_feat = nn.relu(new_feat)
+        if cfg.dropout_rate > 0.0:
+            new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
+        new_feat = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+                              axis_name=axis_name, name="unary2")(
+            new_feat, mask=out_mask, train=train)
+
+        # shortcut: max-pooled original features when strided (layers.py:728-737)
+        if sparse_xyz is not None:
+            sparse_feats = jnp.max(index_points(dense_feats, nei_inds), axis=1)
+        else:
+            sparse_feats = dense_feats
+        if self.in_channel != self.out_channel:
+            shortcut = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+                                  axis_name=axis_name, name="unary_shortcut")(
+                sparse_feats, mask=out_mask, train=train)
+        else:
+            shortcut = sparse_feats
+
+        new_feat = DropPath(cfg.drop_path_rate)(new_feat, train=train) + shortcut
+        new_feat = nn.leaky_relu(new_feat, negative_slope=0.1)
+        return new_feat, weightNetInput
+
+
+class PCFLayer(nn.Module):
+    """PointConvFormer layer: conv weights modulated by feature-difference
+    guidance (layers.py:194-416)."""
+
+    in_channel: int
+    out_channel: int
+    cfg: Any
+    weightnet: Sequence[int] = (9, 16)
+    num_heads: int = 4
+    guidance_feat_len: int = 32
+
+    @nn.compact
+    def __call__(
+        self,
+        dense_xyz,
+        dense_feats,
+        nei_inds,
+        dense_xyz_norm=None,
+        sparse_xyz=None,
+        sparse_xyz_norm=None,
+        vi_features=None,
+        dense_mask=None,
+        sparse_mask=None,
+        train: bool = False,
+    ):
+        cfg = as_config(self.cfg)
+        center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
+        center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
+        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+        axis_name = cfg.get("bn_axis_name")
+        K = nei_inds.shape[-1]
+
+        # First downscaling mlp
+        if self.in_channel != self.out_channel // 4:
+            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True,
+                                 axis_name=axis_name, name="unary1")(
+                dense_feats, mask=dense_mask, train=train)
+        else:
+            feats_x = dense_feats
+
+        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        weightNetInput = _weightnet_input(
+            cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm, vi_features)
+
+        # lift the 12-d VI coords to the guidance feature length (layers.py:361-362)
+        feat_pe = LinearBN(self.guidance_feat_len, use_bn=cfg.BATCH_NORM,
+                           axis_name=axis_name, name="mlp_conv")(
+            weightNetInput, mask=out_mask, train=train)
+        feat_pe = nn.relu(feat_pe)
+
+        # guidance features: bottlenecked feats gathered at low dim + PE
+        guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, no_relu=True,
+                                axis_name=axis_name, name="guidance_unary")(
+            feats_x, mask=dense_mask, train=train)
+        gathered_feat2 = index_points(guidance_x, nei_inds)  # [M, K, gfl]
+        guidance_feature = jnp.concatenate([gathered_feat2, feat_pe], axis=-1)
+
+        guidance_query = guidance_feature
+        if sparse_xyz is None:  # M == N: key = the center itself (layers.py:377-378)
+            guidance_key = jnp.broadcast_to(guidance_feature[:, :1, :], guidance_feature.shape)
+        else:  # strided: key = max-pool over the neighborhood (layers.py:379-381)
+            guidance_key = jnp.broadcast_to(
+                jnp.max(guidance_feature, axis=1, keepdims=True), guidance_feature.shape)
+
+        if cfg.attention_type == "subtraction":
+            guidance_score = MultiHeadGuidance(
+                self.num_heads, 2 * self.guidance_feat_len,
+                layer_norm_guidance=cfg.layer_norm_guidance,
+                use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                name="guidance_weight")(guidance_query, guidance_key,
+                                        mask=out_mask, train=train)
+        else:
+            guidance_score = MultiHeadGuidanceQK(
+                self.num_heads, 2 * self.guidance_feat_len, key_dim=16,
+                use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                name="guidance_weight")(guidance_query, guidance_key,
+                                        mask=out_mask, train=train)
+
+        weights = WeightNet(self.weightnet[1], efficient=True,
+                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            name="weightnet")(weightNetInput, mask=out_mask, train=train)
+
+        # HOT: gather + guidance modulation + K-contraction (layers.py:386-392)
+        gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+        new_feat = pconv(guided_contraction(gathered_feat, guidance_score), weights)
+
+        new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                            axis_name=axis_name, name="linear")(
+            new_feat, mask=out_mask, train=train)
+        new_feat = nn.relu(new_feat)
+        if cfg.dropout_rate > 0.0:
+            new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
+        new_feat = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+                              axis_name=axis_name, name="unary2")(
+            new_feat, mask=out_mask, train=train)
+
+        if sparse_xyz is not None:
+            sparse_feats = jnp.max(index_points(dense_feats, nei_inds), axis=1)
+        else:
+            sparse_feats = dense_feats
+        if self.in_channel != self.out_channel:
+            shortcut = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+                                  axis_name=axis_name, name="unary_shortcut")(
+                sparse_feats, mask=out_mask, train=train)
+        else:
+            shortcut = sparse_feats
+
+        new_feat = DropPath(cfg.drop_path_rate)(new_feat, train=train) + shortcut
+        new_feat = nn.leaky_relu(new_feat, negative_slope=0.1)
+        return new_feat, weightNetInput
+
+
+class PointConvTransposePE(nn.Module):
+    """Decoder upsampling conv: puts features from sparse_xyz onto dense_xyz,
+    adds the encoder skip, runs mlp2 (layers.py:909-1105)."""
+
+    in_channel: int
+    out_channel: int
+    cfg: Any
+    weightnet: Sequence[int] = (9, 16)
+    mlp2: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        sparse_xyz,
+        sparse_feats,
+        nei_inds,       # [M_dense, K] indices into the sparse level
+        sparse_xyz_norm=None,
+        dense_xyz=None,
+        dense_xyz_norm=None,
+        dense_feats=None,
+        vi_features=None,
+        dense_mask=None,
+        sparse_mask=None,
+        train: bool = False,
+    ):
+        cfg = as_config(self.cfg)
+        axis_name = cfg.get("bn_axis_name")
+        out_mask = dense_mask
+
+        _, localized_xyz = _localize(sparse_xyz, nei_inds, dense_xyz)
+        weightNetInput = _weightnet_input(
+            cfg, localized_xyz, sparse_xyz_norm, nei_inds, dense_xyz_norm, vi_features)
+
+        gathered_feat = index_points(sparse_feats, nei_inds)  # [M, K, in_ch]
+        if cfg.USE_PE:
+            last_ch = min(self.out_channel // 4, 32)
+            feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
+                                efficient=True, use_bn=cfg.BATCH_NORM,
+                                axis_name=axis_name, name="pe_convs")(
+                localized_xyz, mask=out_mask, train=train)
+            gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
+
+        weights = WeightNet(self.weightnet[1], efficient=True,
+                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            name="weightnet")(weightNetInput, mask=out_mask, train=train)
+
+        new_feat = pconv(gathered_feat, weights)
+        new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+                            axis_name=axis_name, name="linear")(
+            new_feat, mask=out_mask, train=train)
+        new_feat = nn.relu(new_feat)
+
+        if dense_feats is not None:  # encoder skip (layers.py:1096-1097)
+            new_feat = new_feat + dense_feats
+
+        if cfg.dropout_rate > 0.0:
+            new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
+
+        if self.mlp2:
+            for i in range(1, len(self.mlp2)):
+                new_feat = LinearBN(self.mlp2[i], use_bn=cfg.BATCH_NORM,
+                                    axis_name=axis_name, name=f"mlp2_convs_{i-1}")(
+                    new_feat, mask=out_mask, train=train)
+                new_feat = nn.relu(new_feat)
+
+        return new_feat, weightNetInput
+
+
+class PointTransformerLayer(nn.Module):
+    """PointTransformer block, ablation alternative to PCFLayer
+    (layers.py:419-539, adapted from POSTECH-CVLab/point-transformer)."""
+
+    in_planes: int
+    out_planes: int
+    cfg: Any
+    share_planes: int = 8
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz,
+        feats,
+        nei_inds,
+        sparse_xyz=None,
+        dense_mask=None,
+        sparse_mask=None,
+        train: bool = False,
+    ):
+        cfg = as_config(self.cfg)
+        axis_name = cfg.get("bn_axis_name")
+        mid = self.out_planes
+        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+        center_xyz = sparse_xyz if sparse_xyz is not None else xyz
+
+        feats_q = nn.Dense(mid, name="linear_q")(feats)
+        feats_k = index_points(nn.Dense(mid, name="linear_k")(feats), nei_inds)
+        feats_v = index_points(nn.Dense(self.out_planes, name="linear_v")(feats), nei_inds)
+
+        _, dxyz = _localize(xyz, nei_inds, center_xyz)
+        # linear_p: Linear_BN(3,3) + ReLU + Linear(3,out) (layers.py:448-452)
+        p = LinearBN(3, use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                     name="linear_p_0")(dxyz, mask=out_mask, train=train)
+        p = nn.relu(p)
+        p = nn.Dense(self.out_planes, name="linear_p_1")(p)
+
+        if sparse_xyz is not None:
+            q = index_points(feats_q, nei_inds[:, 0])  # center = nearest neighbor
+        else:
+            q = feats_q
+        M, K = nei_inds.shape
+        w = feats_k - q[:, None, :] + p.reshape(M, K, self.out_planes // mid, mid).sum(2)
+        from pcf_tpu.nn.norm import MaskedBatchNorm
+        if cfg.BATCH_NORM:
+            w = MaskedBatchNorm(mid, axis_name=axis_name, name="bn_w")(
+                w, mask=out_mask, use_running_average=not train)
+        w = nn.relu(w)
+        w = LinearBN(mid // self.share_planes, use_bn=cfg.BATCH_NORM,
+                     axis_name=axis_name, name="linear_w_0")(w, mask=out_mask, train=train)
+        w = nn.relu(w)
+        w = nn.Dense(self.out_planes // self.share_planes, name="linear_w_1")(w)
+        w = jax.nn.softmax(w, axis=1)
+
+        c = self.out_planes
+        s = self.share_planes
+        v = (feats_v + p).reshape(M, K, s, c // s)
+        new_feats = jnp.sum(v * w[:, :, None, :], axis=1).reshape(M, c)
+
+        if sparse_xyz is not None:
+            sparse_feats = jnp.max(index_points(feats, nei_inds), axis=1)
+        else:
+            sparse_feats = feats
+        if self.in_planes != self.out_planes:
+            shortcut = UnaryBlock(self.out_planes, use_bn=True, no_relu=True,
+                                  axis_name=axis_name, name="unary_shortcut")(
+                sparse_feats, mask=out_mask, train=train)
+        else:
+            shortcut = sparse_feats
+        return nn.leaky_relu(new_feats + shortcut, negative_slope=0.1)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_BIG = jnp.float32(1e10)
+# plain float (not jnp scalar): module import must not initialize a backend
+_BIG = 1e10
 
 
 def _pad_rows(x: jnp.ndarray, n: int, value=0):

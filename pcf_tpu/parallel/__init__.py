@@ -1,0 +1,1 @@
+from pcf_tpu.parallel.mesh import make_mesh, make_train_step, make_eval_step, stack_batches

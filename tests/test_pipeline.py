@@ -1,0 +1,180 @@
+"""End-to-end pipeline tests: dataset -> packed loader -> train steps ->
+checkpoint save/restore -> simple + voting eval with real output files.
+
+This is the pytest-scale analog of the reference's only end-to-end check
+(tests_pointconv/test_modelnet10.py) plus the eval flows of
+test_ScanNet_simple.py / test_ScanNet_voting.py — on synthetic scenes.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pcf_tpu.config import Config, get_default_configs, get_default_training_cfgs
+from pcf_tpu.data import synthetic_scene
+
+GRID = [0.35, 0.7, 1.4]
+NCLS = 5
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scannet_like")
+    for split in ("train", "val"):
+        os.makedirs(d / split, exist_ok=True)
+        for i in range(3):
+            coord, norm, feats, labels = synthetic_scene(
+                400, extent=4.0, num_classes=NCLS, seed=hash(split) % 100 + i)
+            np.savez(d / split / f"scene{i}.npz",
+                     coords=coord, feats=np.concatenate([feats, norm], 1),
+                     labels=labels, name=f"{split}_scene{i}")
+    return d
+
+
+def _cfg(scene_dir, **kw):
+    cfg = get_default_configs(Config(), num_level=3, base_dim=8)
+    cfg = get_default_training_cfgs(cfg)
+    cfg.update(
+        guided_level=0, num_heads=2, resblocks=[0, 1, 1], mid_dim=[4, 4, 4],
+        grid_size=GRID, num_classes=NCLS, learning_rate=0.01,
+        scheduler="MultiStepWithWarmup", milestones=[1000], warmup_epochs=1,
+        BATCH_SIZE=2, bucket_multiple=256, MAX_POINTS_NUM=100000,
+        train_data_path=str(scene_dir / "train" / "*.npz"),
+        val_data_path=str(scene_dir / "val" / "*.npz"),
+        test_data_path=str(scene_dir / "val" / "*.npz"),
+        K_self=[8] * 3, K_forward=[8] * 3, K_propagate=[8] * 3,
+        total_epoches=1, eval_freq=1, save_freq=1, print_freq=100,
+    )
+    cfg.update(kw)
+    return cfg
+
+
+def test_dataset_and_loader(scene_dir):
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+
+    cfg = _cfg(scene_dir)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    assert len(ds) == 3
+    assert len(cfg.weights) == NCLS  # USE_WEIGHT populated (datasetCommon.py:70-90)
+    item = ds[0]
+    assert len(item["point_list"]) == 3
+    assert item["feature_list"].shape[1] == 3
+
+    loader = PackedLoader(ds, batch_size=2, bucket_multiple=256, seed=0)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 scenes, batch 2, drop_last
+    b = batches[0]
+    assert b.feats.shape[0] == b.points[0].shape[0]
+
+
+def test_loader_per_host_sharding(scene_dir):
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+
+    cfg = _cfg(scene_dir, BATCH_SIZE=1)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    seen = []
+    for rank in range(2):
+        loader = PackedLoader(ds, 1, shuffle=False, process_index=rank,
+                              process_count=2, bucket_multiple=256)
+        seen.append(len(list(loader)))
+    assert sum(seen) == 3  # all scenes covered once across hosts
+
+
+def test_train_eval_checkpoint_roundtrip(scene_dir, tmp_path):
+    """Loss decreases over a few steps; checkpoint restores exactly; simple
+    eval runs end-to-end and writes .ply/.txt/.npy outputs."""
+    import jax
+
+    from pcf_tpu.data.scannet import ScanNetDataset, PackedLoader
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel import make_train_step
+    from pcf_tpu.train.checkpoint import CheckpointManager
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = _cfg(scene_dir, shuffle_index=False, rotate_aug=False,
+               scale_aug=False, color_aug=False)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    caps = [1024, 512, 256]
+    loader = PackedLoader(ds, 2, level_caps=caps, seed=0)
+    batch = next(iter(loader))
+
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    tx, _ = make_optimizer(cfg, iter_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, cfg, class_weights=cfg.weights)
+
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses  # learning happens
+
+    # checkpoint roundtrip (resume path the reference lacks, SURVEY.md §5)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, state, {"miou": 0.5})
+    template = create_train_state(variables, tx)
+    restored, epoch = mgr.restore(template)
+    assert epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+    # simple eval on the val split with the trained state
+    from pcf_tpu.eval.simple import evaluate
+
+    cfg.eval_path = str(tmp_path / "eval")
+    miou, avg_time = evaluate(cfg, split="validation", state=state,
+                              max_scenes=1)
+    assert 0.0 <= miou <= 1.0
+    outs = os.listdir(cfg.eval_path)
+    assert any(f.endswith(".ply") for f in outs)
+    assert any(f.endswith(".txt") for f in outs)
+    assert any(f.endswith("_probs.npy") for f in outs)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    from pcf_tpu.eval.io import read_ply, write_ply_color, NYU40_COLORMAP, remap_20_to_nyu40
+
+    pts = rng.normal(size=(50, 3)).astype(np.float32)
+    labels = rng.integers(0, 20, size=(50,))
+    path = str(tmp_path / "x.ply")
+    write_ply_color(path, pts, labels)
+    rpts, rcols = read_ply(path)
+    np.testing.assert_allclose(rpts, pts, atol=1e-6)
+    expect = np.asarray(NYU40_COLORMAP, np.uint8)[remap_20_to_nyu40(labels)]
+    np.testing.assert_array_equal(rcols, expect)
+
+
+def test_voting_eval_covers_all_points(scene_dir, tmp_path):
+    import jax
+
+    from pcf_tpu.data.scannet import ScanNetDataset, PackedLoader
+    from pcf_tpu.eval.voting import evaluate_voting
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = _cfg(scene_dir)
+    ds = ScanNetDataset(cfg, "validation", seed=0)
+    loader = PackedLoader(ds, 1, bucket_multiple=256, shuffle=False,
+                          drop_last=False)
+    batch = next(iter(loader))
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    tx, _ = make_optimizer(cfg, 1)
+    state = create_train_state(variables, tx)
+
+    cfg.eval_path = str(tmp_path / "vote_eval")
+    miou = evaluate_voting(cfg, state=state, vote_num=2, max_scenes=1)
+    assert 0.0 <= miou <= 1.0
+    assert any(f.endswith(".ply") for f in os.listdir(cfg.eval_path))
