@@ -51,17 +51,11 @@ def main():
     )(vs, batch.feats)
     vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
 
+    from pcf_tpu.utils.timing import time_fn
+
     fwd = jax.jit(lambda v, f: model.apply(v, f, *args[1:],
                                            masks=list(batch.masks), train=False))
-    out = fwd(vs, batch.feats)
-    out.block_until_ready()  # compile
-
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(vs, batch.feats)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
+    dt = time_fn(fwd, vs, batch.feats, iters=10)
 
     valid_points = int(batch.masks[0].sum())
     pts_per_sec = valid_points / dt

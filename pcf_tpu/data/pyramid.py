@@ -9,10 +9,25 @@ pcf_tpu.ops.knn instead (the post_knn analog).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from scipy.spatial import cKDTree
 
-from pcf_tpu.ops.subsample import grid_subsampling
+from pcf_tpu import native
+from pcf_tpu.ops.subsample import grid_subsampling as _np_grid_subsampling
+
+# The native C++ path (pcf_tpu/native) is the default when it builds; set
+# PCF_NO_NATIVE=1 to force the numpy/scipy fallback.
+_USE_NATIVE = os.environ.get("PCF_NO_NATIVE") != "1" and native.is_available()
+
+
+def grid_subsampling(points, features=None, labels=None, sampleDl=0.1, verbose=0):
+    """Voxel-barycenter subsampling: native C++ hash-map kernel when built,
+    numpy segment reductions otherwise. Identical outputs up to voxel order."""
+    if _USE_NATIVE:
+        return native.grid_subsample(points, features, labels, sampleDl)
+    return _np_grid_subsampling(points, features, labels, sampleDl, verbose)
 
 
 def compute_knn(
@@ -33,10 +48,13 @@ def compute_knn(
     if num_ref < K or num_ref < dilated_rate * K:
         rng = rng or np.random.default_rng()
         return rng.integers(0, num_ref, size=(query_points.shape[0], K)).astype(np.int32)
-    tree = cKDTree(ref_points)
-    _, idx = tree.query(query_points, k=K * dilated_rate)
-    if K * dilated_rate == 1:
-        idx = idx[:, None]
+    if _USE_NATIVE:
+        idx = native.knn(ref_points, query_points, K * dilated_rate)
+    else:
+        tree = cKDTree(ref_points)
+        _, idx = tree.query(query_points, k=K * dilated_rate)
+        if K * dilated_rate == 1:
+            idx = idx[:, None]
     if dilated_rate > 1:
         idx = idx[:, ::dilated_rate]
     return np.ascontiguousarray(idx, dtype=np.int32)
