@@ -1,0 +1,73 @@
+"""Layer-side wrapper for the fused Pallas conv+linear kernels.
+
+The flax module that owns the output-linear parameters (and its BatchNorm)
+and dispatches to the Pallas kernel — the analog of the reference's
+PConvLinearOpt module + external BN (layer_utils.py:73-86, layers.py:591-594,
+708-709). Selected by cfg.USE_PALLAS_KERNEL (the USE_CUDA_KERNEL/PCONV_OPT
+analog); the XLA reference path in pcf_tpu/ops/pconv.py stays the ground
+truth for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pcf_tpu.nn.norm import MaskedBatchNorm
+from pcf_tpu.ops.pallas import pcf_linear_fused, pconv_linear_fused
+
+
+def _interpret_default() -> bool:
+    # Pallas TPU kernels run in interpreter mode on CPU (tests / dry runs)
+    return jax.default_backend() == "cpu"
+
+
+class FusedConvLinear(nn.Module):
+    """(gather + [guidance|PE] + K-contraction + linear) as one kernel,
+    followed by masked BN. Owns the linear params."""
+
+    out_dim: int
+    use_bn: bool = True
+    bn_momentum: float = 0.1
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, feats, nei_inds, weights, guidance=None,
+                 additional_features=None, mask=None, train: bool = False):
+        c_in = feats.shape[-1]
+        if additional_features is not None:
+            c_in += additional_features.shape[-1]
+        in_dim = c_in * weights.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+
+        # The fused kernel wins only where the [M, C*W] intermediate is fat
+        # enough to dominate HBM traffic; thin shapes (decoder mid_dim_back=1,
+        # narrow outputs) run faster on the XLA path — measured on v5e.
+        use_kernel = in_dim >= 512 and self.out_dim >= 64
+        interpret = _interpret_default()
+        if use_kernel and guidance is not None:
+            out = pcf_linear_fused(feats, nei_inds, guidance, weights,
+                                   kernel, bias, interpret=interpret)
+        elif use_kernel:
+            out = pconv_linear_fused(feats, nei_inds, weights, kernel, bias,
+                                     additional_features, interpret=interpret)
+        else:
+            from pcf_tpu.ops.gather import index_points
+            from pcf_tpu.ops.pconv import guided_contraction, pconv
+
+            gathered = index_points(feats, nei_inds)
+            if guidance is not None:
+                gathered = guided_contraction(gathered, guidance)
+            if additional_features is not None:
+                gathered = jnp.concatenate([gathered, additional_features], -1)
+            out = pconv(gathered, weights) @ kernel + bias
+        if self.use_bn:
+            out = MaskedBatchNorm(self.out_dim, momentum=self.bn_momentum,
+                                  axis_name=self.axis_name, name="bn")(
+                out, mask=mask, use_running_average=not train)
+        return out

@@ -28,6 +28,7 @@ from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.nn.norm import LinearBN, UnaryBlock
 from pcf_tpu.nn.weightnet import WeightNet
 from pcf_tpu.nn.guidance import MultiHeadGuidance, MultiHeadGuidanceQK
+from pcf_tpu.nn.fused import FusedConvLinear
 from pcf_tpu.config import as_config
 
 
@@ -105,14 +106,24 @@ class PointConv(nn.Module):
                             use_bn=cfg.BATCH_NORM, axis_name=cfg.get("bn_axis_name"),
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        gathered_feat = index_points(dense_feats, nei_inds)  # [M, K, Cin]
-        if cfg.USE_PE:
-            gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
+        if cfg.get("USE_PALLAS_KERNEL"):
+            # fused gather+PE+contraction+linear (Pallas; the reference's
+            # PCONV_OPT path, layers.py:873-887)
+            new_feat = FusedConvLinear(
+                self.out_channel, use_bn=cfg.BATCH_NORM,
+                axis_name=cfg.get("bn_axis_name"), name="linear")(
+                dense_feats, nei_inds, weights,
+                additional_features=weightNetInput if cfg.USE_PE else None,
+                mask=out_mask, train=train)
+        else:
+            gathered_feat = index_points(dense_feats, nei_inds)  # [M, K, Cin]
+            if cfg.USE_PE:
+                gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
 
-        new_feat = pconv(gathered_feat, weights)  # [M, last_ch * C_mid]
-        new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
-                            axis_name=cfg.get("bn_axis_name"),
-                            name="linear")(new_feat, mask=out_mask, train=train)
+            new_feat = pconv(gathered_feat, weights)  # [M, last_ch * C_mid]
+            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+                                axis_name=cfg.get("bn_axis_name"),
+                                name="linear")(new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
         if cfg.dropout_rate > 0.0:
             new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
@@ -172,13 +183,20 @@ class PointConvStridePE(nn.Module):
                             use_bn=cfg.BATCH_NORM, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
-        new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
-        new_feat = pconv(new_feat, weights)  # [M, (out/4+last_ch)*C_mid]
+        if cfg.get("USE_PALLAS_KERNEL"):
+            new_feat = FusedConvLinear(
+                self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                axis_name=axis_name, name="linear")(
+                feats_x, nei_inds, weights, additional_features=feat_pe,
+                mask=out_mask, train=train)
+        else:
+            gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+            new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
+            new_feat = pconv(new_feat, weights)  # [M, (out/4+last_ch)*C_mid]
 
-        new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
-                            axis_name=axis_name, name="linear")(
-            new_feat, mask=out_mask, train=train)
+            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                                axis_name=axis_name, name="linear")(
+                new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
         if cfg.dropout_rate > 0.0:
             new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
@@ -286,12 +304,19 @@ class PCFLayer(nn.Module):
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         # HOT: gather + guidance modulation + K-contraction (layers.py:386-392)
-        gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
-        new_feat = pconv(guided_contraction(gathered_feat, guidance_score), weights)
+        if cfg.get("USE_PALLAS_KERNEL"):
+            new_feat = FusedConvLinear(
+                self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                axis_name=axis_name, name="linear")(
+                feats_x, nei_inds, weights, guidance=guidance_score,
+                mask=out_mask, train=train)
+        else:
+            gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+            new_feat = pconv(guided_contraction(gathered_feat, guidance_score), weights)
 
-        new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
-                            axis_name=axis_name, name="linear")(
-            new_feat, mask=out_mask, train=train)
+            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+                                axis_name=axis_name, name="linear")(
+                new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
         if cfg.dropout_rate > 0.0:
             new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
@@ -348,23 +373,32 @@ class PointConvTransposePE(nn.Module):
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, sparse_xyz_norm, nei_inds, dense_xyz_norm, vi_features)
 
-        gathered_feat = index_points(sparse_feats, nei_inds)  # [M, K, in_ch]
+        feat_pe = None
         if cfg.USE_PE:
             last_ch = min(self.out_channel // 4, 32)
             feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
                                 efficient=True, use_bn=cfg.BATCH_NORM,
                                 axis_name=axis_name, name="pe_convs")(
                 localized_xyz, mask=out_mask, train=train)
-            gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
                             use_bn=cfg.BATCH_NORM, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        new_feat = pconv(gathered_feat, weights)
-        new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
-                            axis_name=axis_name, name="linear")(
-            new_feat, mask=out_mask, train=train)
+        if cfg.get("USE_PALLAS_KERNEL"):
+            new_feat = FusedConvLinear(
+                self.out_channel, use_bn=cfg.BATCH_NORM,
+                axis_name=axis_name, name="linear")(
+                sparse_feats, nei_inds, weights, additional_features=feat_pe,
+                mask=out_mask, train=train)
+        else:
+            gathered_feat = index_points(sparse_feats, nei_inds)  # [M, K, in_ch]
+            if feat_pe is not None:
+                gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
+            new_feat = pconv(gathered_feat, weights)
+            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+                                axis_name=axis_name, name="linear")(
+                new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
 
         if dense_feats is not None:  # encoder skip (layers.py:1096-1097)

@@ -1,0 +1,228 @@
+"""Pallas fused PConv/PCF + Linear kernels.
+
+TPU-native equivalent of the reference's fused CUDA/CUTLASS paths
+(pcf_cuda.pconv_linear_cutlass_forward, pconv_ops.cu:950-1269, and
+pcf_forward, pcf_ops.cu:26-71): guidance modulation, the K-neighbor
+contraction, and the output linear run in ONE kernel so the fat
+[M, C*W]-wide pconv intermediate lives only in VMEM — on TPU that
+intermediate (e.g. 81920 x 1024 f32 = 335MB per direction) is pure HBM
+traffic the XLA path pays twice.
+
+The kernels consume pre-gathered neighbor features (the gather itself stays
+in XLA, which pipelines it with neighboring ops; in-kernel gathers of K
+random rows per point would serialize thousands of tiny DMAs).
+
+Per grid step (tile of Mt points):
+  gathered [Mt, K, C]  (guidance [Mt, K, H])  weights [Mt, K, W]
+  linear_w [C*W, O] + linear_b [1, O] (broadcast)  ->  out [Mt, O]
+
+The contraction einsum('mkc,mkw->mcw') runs as a batched MXU matmul; the
+linear is one [Mt, C*W] x [C*W, O] MXU matmul on the VMEM-resident
+intermediate.
+
+Autodiff: custom_vjp whose backward is the XLA reference path (the gather
+transpose is XLA's scatter-add — the reference needed a hand-built
+inverse-kNN CSR for this, knn.cu; XLA derives it). Mirrors the reference's
+fused-forward/derived-backward split (layer_utils.py:42-70).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.pconv import guided_contraction, pconv
+
+
+def _contract_and_project(g, v, lw3, lb):
+    """[Mt,K,C] x [Mt,K,W] -> [Mt,W,C] (batched MXU matmul over points),
+    then project with W static [Mt,C] x [C,O] matmuls accumulated in VMEM.
+
+    lw3 is the linear weight pre-arranged [W, C, O] (so out[m,o] =
+    sum_{c,w} pc[m,w,c] * lw3[w,c,o], the c-major vec(A^T W) @ L of the
+    reference). Mosaic supports neither multi-dim contractions nor
+    lane-merging reshapes, hence the static W-loop of full-width matmuls.
+    """
+    W = v.shape[-1]
+    pc = lax.dot_general(
+        v, g, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [Mt, W, C]
+    acc = jnp.broadcast_to(lb, (g.shape[0], lb.shape[-1])).astype(jnp.float32)
+    for w in range(W):
+        acc = acc + jnp.dot(pc[:, w, :], lw3[w],
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _pconv_kernel(g_ref, v_ref, lw_ref, lb_ref, out_ref):
+    g = g_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    out = _contract_and_project(g, v, lw_ref[...].astype(jnp.float32),
+                                lb_ref[...].astype(jnp.float32))
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _pcf_kernel(g_ref, guid_ref, v_ref, lw_ref, lb_ref, out_ref):
+    g = g_ref[...].astype(jnp.float32)
+    guid = guid_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    C = g.shape[-1]
+    H = guid.shape[-1]
+    # channel c modulated by head c % H (pcf_ops.cu:58-68): lane-concat of
+    # C//H copies puts guid[..., c % H] at lane c (lane splits are not
+    # Mosaic-representable; concatenation is).
+    guid_full = jnp.concatenate([guid] * (C // H), axis=-1)  # [Mt, K, C]
+    out = _contract_and_project(g * guid_full, v,
+                                lw_ref[...].astype(jnp.float32),
+                                lb_ref[...].astype(jnp.float32))
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _run_fused(gathered, guidance, weights, linear_w, linear_b, *,
+               tile_m=128, interpret=False):
+    M, K, C = gathered.shape
+    W = weights.shape[-1]
+    O = linear_w.shape[-1]
+    tile_m = min(tile_m, max(8, M))
+    Mp = -(-M // tile_m) * tile_m
+    if Mp != M:
+        pad = [(0, Mp - M), (0, 0), (0, 0)]
+        gathered = jnp.pad(gathered, pad)
+        weights = jnp.pad(weights, pad)
+        if guidance is not None:
+            guidance = jnp.pad(guidance, pad)
+    lb2 = linear_b.reshape(1, O)
+
+    grid = (Mp // tile_m,)
+    in_specs = [pl.BlockSpec((tile_m, K, C), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    operands = [gathered]
+    if guidance is not None:
+        in_specs.append(pl.BlockSpec((tile_m, K, guidance.shape[-1]),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(guidance)
+    in_specs += [
+        pl.BlockSpec((tile_m, K, W), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, C, O), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [weights, linear_w.reshape(C, W, O).transpose(1, 0, 2), lb2]
+
+    out = pl.pallas_call(
+        _pcf_kernel if guidance is not None else _pconv_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_m, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, O), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * C * W + 2 * Mp * C * W * O,
+            bytes_accessed=Mp * K * (C + W) * 4 + Mp * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:M]
+
+
+def _ref_pcf(feats, nei_inds, guidance, weights, linear_w, linear_b):
+    gathered = index_points(feats, nei_inds)
+    if guidance is not None:
+        gathered = guided_contraction(gathered, guidance)
+    out = pconv(gathered, weights)
+    return jnp.matmul(out, linear_w, precision=lax.Precision.HIGHEST) + linear_b
+
+
+def _ref_pconv_pe(feats, nei_inds, add, weights, linear_w, linear_b):
+    gathered = jnp.concatenate([index_points(feats, nei_inds), add], axis=-1)
+    out = pconv(gathered, weights)
+    return jnp.matmul(out, linear_w, precision=lax.Precision.HIGHEST) + linear_b
+
+
+# --- PCF variant: gather + guidance + contraction + linear ----------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _pcf_linear(feats, nei_inds, guidance, weights, linear_w, linear_b,
+                interpret=False):
+    gathered = index_points(feats, nei_inds)
+    return _run_fused(gathered, guidance, weights, linear_w, linear_b,
+                      interpret=interpret)
+
+
+def _pcf_linear_fwd(feats, nei_inds, guidance, weights, linear_w, linear_b,
+                    interpret=False):
+    out = _pcf_linear(feats, nei_inds, guidance, weights, linear_w, linear_b,
+                      interpret)
+    return out, (feats, nei_inds, guidance, weights, linear_w, linear_b)
+
+
+def _pcf_linear_bwd(interpret, res, g):
+    feats, nei_inds, guidance, weights, linear_w, linear_b = res
+    _, vjp = jax.vjp(
+        lambda f, gd, w, lw, lb: _ref_pcf(f, nei_inds, gd, w, lw, lb),
+        feats, guidance, weights, linear_w, linear_b)
+    d_feats, d_guid, d_w, d_lw, d_lb = vjp(g)
+    return d_feats, None, d_guid, d_w, d_lw, d_lb
+
+
+_pcf_linear.defvjp(_pcf_linear_fwd, _pcf_linear_bwd)
+
+
+# --- PConv variant: gather + PE concat + contraction + linear -------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _pconv_pe_linear(feats, nei_inds, add, weights, linear_w, linear_b,
+                     interpret=False):
+    gathered = jnp.concatenate([index_points(feats, nei_inds), add], axis=-1)
+    return _run_fused(gathered, None, weights, linear_w, linear_b,
+                      interpret=interpret)
+
+
+def _pconv_pe_linear_fwd(feats, nei_inds, add, weights, linear_w, linear_b,
+                         interpret=False):
+    out = _pconv_pe_linear(feats, nei_inds, add, weights, linear_w, linear_b,
+                           interpret)
+    return out, (feats, nei_inds, add, weights, linear_w, linear_b)
+
+
+def _pconv_pe_linear_bwd(interpret, res, g):
+    feats, nei_inds, add, weights, linear_w, linear_b = res
+    _, vjp = jax.vjp(
+        lambda f, a, w, lw, lb: _ref_pconv_pe(f, nei_inds, a, w, lw, lb),
+        feats, add, weights, linear_w, linear_b)
+    d_feats, d_add, d_w, d_lw, d_lb = vjp(g)
+    return d_feats, None, d_add, d_w, d_lw, d_lb
+
+
+_pconv_pe_linear.defvjp(_pconv_pe_linear_fwd, _pconv_pe_linear_bwd)
+
+
+# --- public API ------------------------------------------------------------
+
+def pcf_linear_fused(feats, nei_inds, guidance, weights, linear_w, linear_b,
+                     interpret=False):
+    """Fused gather + guidance + K-contraction + linear (PCF layer core).
+    Replaces pcf_cuda.pcf_forward + linear (pcf_ops.cu:26-71, layers.py:392-393)."""
+    return _pcf_linear(feats, nei_inds, guidance, weights, linear_w,
+                       linear_b, interpret)
+
+
+def pconv_linear_fused(feats, nei_inds, weights, linear_w, linear_b,
+                       additional_features=None, interpret=False):
+    """Fused gather (+ PE concat) + K-contraction + linear (PointConv core).
+    Replaces pcf_cuda.pconv_linear_cutlass_forward (pconv_ops.cu:950-1269)."""
+    if additional_features is None:
+        # zero-width PE, like the reference's [B,N,K,0] placeholder
+        # (layer_utils.py:82-84)
+        additional_features = jnp.zeros(
+            (nei_inds.shape[0], nei_inds.shape[1], 0), feats.dtype)
+    return _pconv_pe_linear(feats, nei_inds, additional_features, weights,
+                            linear_w, linear_b, interpret)

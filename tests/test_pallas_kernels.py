@@ -1,0 +1,114 @@
+"""Pallas fused kernel parity tests (interpret mode on CPU).
+
+Mirrors the reference's kernel test strategy (test_kernels.py:216-335):
+fused op vs the always-available XLA reference on identical inputs — forward
+outputs AND every gradient — plus randomized size sweeps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.pconv import guided_contraction, pconv
+from pcf_tpu.ops.pallas import pcf_linear_fused, pconv_linear_fused
+
+
+def _ref_pcf(feats, nei, guid, wts, lw, lb):
+    g = guided_contraction(index_points(feats, nei), guid)
+    return pconv(g, wts) @ lw + lb
+
+
+def _ref_pconv(feats, nei, add, wts, lw, lb):
+    g = index_points(feats, nei)
+    if add is not None:
+        g = jnp.concatenate([g, add], axis=-1)
+    return pconv(g, wts) @ lw + lb
+
+
+def _rand_case(rng, M=40, N=70, K=8, C=16, H=4, W=4, O=8):
+    feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    nei = jnp.asarray(rng.integers(0, N, size=(M, K)).astype(np.int32))
+    guid = jnp.asarray(rng.uniform(size=(M, K, H)).astype(np.float32))
+    wts = jnp.asarray(rng.normal(size=(M, K, W)).astype(np.float32))
+    lw = jnp.asarray(rng.normal(size=(C * W, O)).astype(np.float32))
+    lb = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+    return feats, nei, guid, wts, lw, lb
+
+
+def test_pcf_fused_forward_parity(rng):
+    feats, nei, guid, wts, lw, lb = _rand_case(rng)
+    fused = pcf_linear_fused(feats, nei, guid, wts, lw, lb, interpret=True)
+    ref = _ref_pcf(feats, nei, guid, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_pcf_fused_random_sizes(seed):
+    """Randomized size sweep (reference: test_pconv_linear_opt_random,
+    test_kernels.py:1073)."""
+    rng = np.random.default_rng(seed)
+    M = int(rng.integers(5, 600))
+    N = int(rng.integers(M, M + 300))
+    K = int(rng.choice([4, 8, 16]))
+    H = int(rng.choice([1, 2, 4]))
+    C = H * int(rng.integers(1, 8))
+    W = int(rng.choice([2, 4, 16]))
+    O = int(rng.integers(2, 32))
+    feats, nei, guid, wts, lw, lb = _rand_case(rng, M, N, K, C, H, W, O)
+    fused = pcf_linear_fused(feats, nei, guid, wts, lw, lb, interpret=True)
+    ref = _ref_pcf(feats, nei, guid, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-3,
+                               rtol=1e-4)
+
+
+def test_pcf_fused_all_gradients(rng):
+    """All five gradients vs the XLA reference (test_kernels.py pattern)."""
+    feats, nei, guid, wts, lw, lb = _rand_case(rng, M=20, N=30, K=4, C=8, H=2,
+                                               W=4, O=6)
+    cot = jnp.asarray(rng.normal(size=(20, 6)).astype(np.float32))
+
+    def loss_fused(f, gd, w, l, b):
+        return jnp.sum(pcf_linear_fused(f, nei, gd, w, l, b, interpret=True) * cot)
+
+    def loss_ref(f, gd, w, l, b):
+        return jnp.sum(_ref_pcf(f, nei, gd, w, l, b) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(feats, guid, wts, lw, lb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(feats, guid, wts, lw, lb)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_pconv_fused_with_pe(rng):
+    M, N, K, C, Ca, W, O = 30, 50, 8, 12, 6, 4, 10
+    feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    nei = jnp.asarray(rng.integers(0, N, size=(M, K)).astype(np.int32))
+    add = jnp.asarray(rng.normal(size=(M, K, Ca)).astype(np.float32))
+    wts = jnp.asarray(rng.normal(size=(M, K, W)).astype(np.float32))
+    lw = jnp.asarray(rng.normal(size=((C + Ca) * W, O)).astype(np.float32))
+    lb = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+
+    fused = pconv_linear_fused(feats, nei, wts, lw, lb, add, interpret=True)
+    ref = _ref_pconv(feats, nei, add, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+    # gradients
+    cot = jnp.asarray(rng.normal(size=(M, O)).astype(np.float32))
+    gf = jax.grad(lambda f: jnp.sum(
+        pconv_linear_fused(f, nei, wts, lw, lb, add, interpret=True) * cot))(feats)
+    gr = jax.grad(lambda f: jnp.sum(_ref_pconv(f, nei, add, wts, lw, lb) * cot))(feats)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
+
+
+def test_pconv_fused_no_pe(rng):
+    M, N, K, C, W, O = 25, 40, 8, 8, 4, 6
+    feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    nei = jnp.asarray(rng.integers(0, N, size=(M, K)).astype(np.int32))
+    wts = jnp.asarray(rng.normal(size=(M, K, W)).astype(np.float32))
+    lw = jnp.asarray(rng.normal(size=(C * W, O)).astype(np.float32))
+    lb = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+    fused = pconv_linear_fused(feats, nei, wts, lw, lb, interpret=True)
+    ref = _ref_pconv(feats, nei, None, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)

@@ -1,0 +1,117 @@
+"""Model-level USE_PALLAS_KERNEL flag tests: the fused path must produce the
+same model outputs as the XLA reference path given identical parameters
+(the reference's CUDA-vs-unfused parity requirement, layers.py:386-392)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcf_tpu.config import Config, get_default_configs
+from pcf_tpu.core import pack_scenes
+from pcf_tpu.data import synthetic_scene
+from pcf_tpu.data.pyramid import scene_to_item
+from pcf_tpu.models import PointConvFormer_Segmentation
+
+GRID = [0.3, 0.6, 1.2]
+
+
+def _cfg(**kw):
+    cfg = get_default_configs(Config(), num_level=3, base_dim=8)
+    cfg.guided_level = 0
+    cfg.num_heads = 2
+    cfg.resblocks = [0, 1, 1]
+    cfg.mid_dim = [4, 4, 4]
+    cfg.grid_size = GRID
+    cfg.num_classes = 5
+    cfg.USE_PE = True
+    cfg.update(kw)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def batch():
+    coord, norm, feats, labels = synthetic_scene(250, extent=4.0, num_classes=5, seed=3)
+    item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
+                         rng=np.random.default_rng(3))
+    return pack_scenes([item], bucket_multiple=128)
+
+
+def test_pallas_flag_model_parity(batch):
+    """Same params, fused vs XLA path: outputs must agree closely."""
+    b = batch
+    args = (b.feats, list(b.points), list(b.edges_self), list(b.edges_forward),
+            list(b.edges_propagate), list(b.norms))
+
+    model_ref = PointConvFormer_Segmentation(_cfg(USE_PALLAS_KERNEL=False))
+    model_fused = PointConvFormer_Segmentation(_cfg(USE_PALLAS_KERNEL=True))
+
+    vs_ref = model_ref.init(jax.random.PRNGKey(0), *args, masks=list(b.masks),
+                            train=False)
+    vs_fused = model_fused.init(jax.random.PRNGKey(0), *args,
+                                masks=list(b.masks), train=False)
+
+    # param trees must be structurally compatible modulo the linear param
+    # names (LinearBN 'c.kernel' vs FusedConvLinear 'kernel'); copy across.
+    def adapt(ref_tree, fused_tree):
+        out = {}
+        for k, v in fused_tree.items():
+            rv = ref_tree[k]
+            if isinstance(v, dict):
+                if set(v) >= {"kernel", "bias"} and "c" in rv:
+                    out[k] = dict(v)
+                    out[k]["kernel"] = rv["c"]["kernel"]
+                    out[k]["bias"] = rv["c"]["bias"]
+                    if "bn" in v:
+                        out[k]["bn"] = rv["bn"]
+                else:
+                    out[k] = adapt(rv, v)
+            else:
+                out[k] = rv
+        return out
+
+    import flax
+    fused_params = adapt(flax.core.unfreeze(vs_ref["params"]),
+                         flax.core.unfreeze(vs_fused["params"]))
+    vs_fused = {"params": fused_params, "batch_stats": vs_ref["batch_stats"]}
+
+    out_ref = model_ref.apply(vs_ref, *args, masks=list(b.masks), train=False)
+    out_fused = model_fused.apply(vs_fused, *args, masks=list(b.masks), train=False)
+    m = np.asarray(b.masks[0])
+    a, c = np.asarray(out_ref)[m], np.asarray(out_fused)[m]
+    # interpret-mode Pallas on CPU is exact up to matmul association order
+    np.testing.assert_allclose(a, c, atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_flag_train_step(batch):
+    """Fused path trains: grads flow (custom_vjp backward) and loss drops."""
+    from pcf_tpu.train.loss import cross_entropy_loss
+
+    b = batch
+    cfg = _cfg(USE_PALLAS_KERNEL=True)
+    model = PointConvFormer_Segmentation(cfg)
+    args = (b.feats, list(b.points), list(b.edges_self), list(b.edges_forward),
+            list(b.edges_propagate), list(b.norms))
+    vs = model.init(jax.random.PRNGKey(0), *args, masks=list(b.masks), train=False)
+
+    import optax
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(vs["params"])
+    bs = vs["batch_stats"]
+    params = vs["params"]
+
+    def loss_fn(p, bs):
+        out, upd = model.apply({"params": p, "batch_stats": bs}, *args,
+                               masks=list(b.masks), train=True,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(1)})
+        l, _ = cross_entropy_loss(out, b.labels, mask=b.masks[0])
+        return l, upd["batch_stats"]
+
+    losses = []
+    for i in range(5):
+        (l, bs), g = jax.value_and_grad(loss_fn, has_aux=True)(params, bs)
+        updates, opt_state = tx.update(g, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
