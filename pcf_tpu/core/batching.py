@@ -115,6 +115,16 @@ def pack_scenes(
         masks.append(jnp.asarray(mask))
         bids.append(jnp.asarray(_pad_rows(bid, cap, value=-1)))
 
+        has_edges = "nei_self_list" in scenes[0]
+        if not has_edges:
+            # post_knn mode: edges are computed on device after packing
+            # (pcf_tpu/data/post_knn.py); placeholders keep the pytree static.
+            edges_self.append(jnp.zeros((cap, 1), jnp.int32))
+            if lvl < n_levels - 1:
+                edges_forward.append((np.zeros((0, 1), np.int32), level_caps[lvl + 1]))
+                edges_propagate.append(jnp.zeros((cap, 1), jnp.int32))
+            continue
+
         es = np.concatenate(
             [s["nei_self_list"][lvl] + offs[i] for i, s in enumerate(scenes)], 0
         ).astype(np.int32)

@@ -85,8 +85,11 @@ class PCF_Backbone(nn.Module):
                         vi_features=vi_features if cfg.USE_VI else None,
                         dense_mask=masks[0], train=train)
         else:
+            from pcf_tpu.nn.layers import _dtype_of
+
             pointwise_feat = nn.relu(
                 LinearBN(cfg.base_dim, use_bn=cfg.BATCH_NORM,
+                         dtype=_dtype_of(cfg),
                          axis_name=cfg.get("bn_axis_name"), name="selfmlp")(
                     pointwise_feat, mask=masks[0], train=train))
 

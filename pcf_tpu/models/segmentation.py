@@ -64,7 +64,10 @@ class PointConvFormer_Segmentation(nn.Module):
                     if vi_features is None:
                         vi_features = wni
 
+        from pcf_tpu.nn.layers import _dtype_of
+
         fc = LinearBN(cfg.base_dim, use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                      dtype=_dtype_of(cfg),
                       name="fc1")(sparse_feat, mask=masks[0], train=train)
         fc = nn.relu(fc)
         if cfg.dropout_fc > 0.0:

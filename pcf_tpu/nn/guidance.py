@@ -24,6 +24,7 @@ class MultiHeadGuidance(nn.Module):
     layer_norm_guidance: bool = False
     use_bn: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -41,6 +42,7 @@ class MultiHeadGuidance(nn.Module):
         dims = [8, self.num_heads]
         for i, d in enumerate(dims):
             scores = LinearBN(d, use_bn=self.use_bn, axis_name=self.axis_name,
+                              dtype=self.dtype,
                               name=f"mlp_{i}")(scores, mask=mask, train=train)
             scores = nn.sigmoid(scores) if i == len(dims) - 1 else nn.relu(scores)
         return scores  # [M, K, num_heads]
@@ -52,13 +54,15 @@ class MultiHeadGuidanceQK(nn.Module):
     key_dim: int = 16
     use_bn: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, q: jnp.ndarray, k: jnp.ndarray, mask=None, train: bool = False):
         assert self.num_hiddens % self.num_heads == 0
         M, K, _ = q.shape
         qk = LinearBN(self.key_dim * self.num_heads, use_bn=self.use_bn,
-                      axis_name=self.axis_name, name="qk_linear")
+                      axis_name=self.axis_name, dtype=self.dtype,
+                      name="qk_linear")
         q = qk(q, mask=mask, train=train).reshape(M, K, self.num_heads, self.key_dim)
         k = qk(k, mask=mask, train=train).reshape(M, K, self.num_heads, self.key_dim)
         # only the center's key matters (reference: layers.py:103)

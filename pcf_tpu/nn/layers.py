@@ -32,6 +32,12 @@ from pcf_tpu.nn.fused import FusedConvLinear
 from pcf_tpu.config import as_config
 
 
+def _dtype_of(cfg):
+    # Computation dtype: bf16 halves gather/matmul HBM traffic on TPU;
+    # params and BN statistics stay f32 (mixed precision).
+    return jnp.bfloat16 if cfg.get('compute_dtype') == 'bfloat16' else None
+
+
 class DropPath(nn.Module):
     """Stochastic depth on the residual branch (reference uses timm DropPath,
     layers.py:237-238). The packed layout has no real batch dim, so the drop
@@ -90,6 +96,9 @@ class PointConv(nn.Module):
         train: bool = False,
     ):
         cfg = as_config(self.cfg)
+        dtype = _dtype_of(cfg)
+        if dtype is not None:
+            dense_feats = dense_feats.astype(dtype)
         use_vi = cfg.USE_VI if self.USE_VI is None else self.USE_VI
         center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
         center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
@@ -103,7 +112,7 @@ class PointConv(nn.Module):
             weightNetInput = localized_xyz
 
         weights = WeightNet(self.weightnet[1], efficient=True,
-                            use_bn=cfg.BATCH_NORM, axis_name=cfg.get("bn_axis_name"),
+                            use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=cfg.get("bn_axis_name"),
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         if cfg.get("USE_PALLAS_KERNEL"):
@@ -121,7 +130,7 @@ class PointConv(nn.Module):
                 gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
 
             new_feat = pconv(gathered_feat, weights)  # [M, last_ch * C_mid]
-            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=cfg.get("bn_axis_name"),
                                 name="linear")(new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
@@ -155,6 +164,9 @@ class PointConvStridePE(nn.Module):
         train: bool = False,
     ):
         cfg = as_config(self.cfg)
+        dtype = _dtype_of(cfg)
+        if dtype is not None:
+            dense_feats = dense_feats.astype(dtype)
         center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
         center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
@@ -162,7 +174,7 @@ class PointConvStridePE(nn.Module):
 
         # First downscaling mlp (bottleneck)
         if self.in_channel != self.out_channel // 4:
-            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True,
+            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True, dtype=dtype,
                                  axis_name=axis_name, name="unary1")(
                 dense_feats, mask=dense_mask, train=train)
         else:
@@ -180,7 +192,7 @@ class PointConvStridePE(nn.Module):
             localized_xyz, mask=out_mask, train=train)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
-                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         if cfg.get("USE_PALLAS_KERNEL"):
@@ -194,13 +206,13 @@ class PointConvStridePE(nn.Module):
             new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
             new_feat = pconv(new_feat, weights)  # [M, (out/4+last_ch)*C_mid]
 
-            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
                 new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
         if cfg.dropout_rate > 0.0:
             new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
-        new_feat = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+        new_feat = UnaryBlock(self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
                               axis_name=axis_name, name="unary2")(
             new_feat, mask=out_mask, train=train)
 
@@ -210,7 +222,7 @@ class PointConvStridePE(nn.Module):
         else:
             sparse_feats = dense_feats
         if self.in_channel != self.out_channel:
-            shortcut = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+            shortcut = UnaryBlock(self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
                                   axis_name=axis_name, name="unary_shortcut")(
                 sparse_feats, mask=out_mask, train=train)
         else:
@@ -247,6 +259,9 @@ class PCFLayer(nn.Module):
         train: bool = False,
     ):
         cfg = as_config(self.cfg)
+        dtype = _dtype_of(cfg)
+        if dtype is not None:
+            dense_feats = dense_feats.astype(dtype)
         center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
         center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
@@ -255,7 +270,7 @@ class PCFLayer(nn.Module):
 
         # First downscaling mlp
         if self.in_channel != self.out_channel // 4:
-            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True,
+            feats_x = UnaryBlock(self.out_channel // 4, use_bn=True, dtype=dtype,
                                  axis_name=axis_name, name="unary1")(
                 dense_feats, mask=dense_mask, train=train)
         else:
@@ -266,13 +281,13 @@ class PCFLayer(nn.Module):
             cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm, vi_features)
 
         # lift the 12-d VI coords to the guidance feature length (layers.py:361-362)
-        feat_pe = LinearBN(self.guidance_feat_len, use_bn=cfg.BATCH_NORM,
+        feat_pe = LinearBN(self.guidance_feat_len, use_bn=cfg.BATCH_NORM, dtype=dtype,
                            axis_name=axis_name, name="mlp_conv")(
             weightNetInput, mask=out_mask, train=train)
         feat_pe = nn.relu(feat_pe)
 
         # guidance features: bottlenecked feats gathered at low dim + PE
-        guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, no_relu=True,
+        guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, dtype=dtype, no_relu=True,
                                 axis_name=axis_name, name="guidance_unary")(
             feats_x, mask=dense_mask, train=train)
         gathered_feat2 = index_points(guidance_x, nei_inds)  # [M, K, gfl]
@@ -289,18 +304,18 @@ class PCFLayer(nn.Module):
             guidance_score = MultiHeadGuidance(
                 self.num_heads, 2 * self.guidance_feat_len,
                 layer_norm_guidance=cfg.layer_norm_guidance,
-                use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                use_bn=cfg.BATCH_NORM, axis_name=axis_name, dtype=dtype,
                 name="guidance_weight")(guidance_query, guidance_key,
                                         mask=out_mask, train=train)
         else:
             guidance_score = MultiHeadGuidanceQK(
                 self.num_heads, 2 * self.guidance_feat_len, key_dim=16,
-                use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                use_bn=cfg.BATCH_NORM, axis_name=axis_name, dtype=dtype,
                 name="guidance_weight")(guidance_query, guidance_key,
                                         mask=out_mask, train=train)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
-                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         # HOT: gather + guidance modulation + K-contraction (layers.py:386-392)
@@ -314,13 +329,13 @@ class PCFLayer(nn.Module):
             gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
             new_feat = pconv(guided_contraction(gathered_feat, guidance_score), weights)
 
-            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM,
+            new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
                 new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
         if cfg.dropout_rate > 0.0:
             new_feat = nn.Dropout(cfg.dropout_rate)(new_feat, deterministic=not train)
-        new_feat = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+        new_feat = UnaryBlock(self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
                               axis_name=axis_name, name="unary2")(
             new_feat, mask=out_mask, train=train)
 
@@ -329,7 +344,7 @@ class PCFLayer(nn.Module):
         else:
             sparse_feats = dense_feats
         if self.in_channel != self.out_channel:
-            shortcut = UnaryBlock(self.out_channel, use_bn=True, no_relu=True,
+            shortcut = UnaryBlock(self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
                                   axis_name=axis_name, name="unary_shortcut")(
                 sparse_feats, mask=out_mask, train=train)
         else:
@@ -366,6 +381,11 @@ class PointConvTransposePE(nn.Module):
         train: bool = False,
     ):
         cfg = as_config(self.cfg)
+        dtype = _dtype_of(cfg)
+        if dtype is not None:
+            sparse_feats = sparse_feats.astype(dtype)
+            if dense_feats is not None:
+                dense_feats = dense_feats.astype(dtype)
         axis_name = cfg.get("bn_axis_name")
         out_mask = dense_mask
 
@@ -382,7 +402,7 @@ class PointConvTransposePE(nn.Module):
                 localized_xyz, mask=out_mask, train=train)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
-                            use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+                            use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         if cfg.get("USE_PALLAS_KERNEL"):
@@ -396,7 +416,7 @@ class PointConvTransposePE(nn.Module):
             if feat_pe is not None:
                 gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
             new_feat = pconv(gathered_feat, weights)
-            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM,
+            new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
                 new_feat, mask=out_mask, train=train)
         new_feat = nn.relu(new_feat)
@@ -409,7 +429,7 @@ class PointConvTransposePE(nn.Module):
 
         if self.mlp2:
             for i in range(1, len(self.mlp2)):
-                new_feat = LinearBN(self.mlp2[i], use_bn=cfg.BATCH_NORM,
+                new_feat = LinearBN(self.mlp2[i], use_bn=cfg.BATCH_NORM, dtype=dtype,
                                     axis_name=axis_name, name=f"mlp2_convs_{i-1}")(
                     new_feat, mask=out_mask, train=train)
                 new_feat = nn.relu(new_feat)
@@ -438,18 +458,21 @@ class PointTransformerLayer(nn.Module):
         train: bool = False,
     ):
         cfg = as_config(self.cfg)
+        dtype = _dtype_of(cfg)
+        if dtype is not None:
+            feats = feats.astype(dtype)
         axis_name = cfg.get("bn_axis_name")
         mid = self.out_planes
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
         center_xyz = sparse_xyz if sparse_xyz is not None else xyz
 
-        feats_q = nn.Dense(mid, name="linear_q")(feats)
-        feats_k = index_points(nn.Dense(mid, name="linear_k")(feats), nei_inds)
-        feats_v = index_points(nn.Dense(self.out_planes, name="linear_v")(feats), nei_inds)
+        feats_q = nn.Dense(mid, dtype=dtype, name="linear_q")(feats)
+        feats_k = index_points(nn.Dense(mid, dtype=dtype, name="linear_k")(feats), nei_inds)
+        feats_v = index_points(nn.Dense(self.out_planes, dtype=dtype, name="linear_v")(feats), nei_inds)
 
         _, dxyz = _localize(xyz, nei_inds, center_xyz)
         # linear_p: Linear_BN(3,3) + ReLU + Linear(3,out) (layers.py:448-452)
-        p = LinearBN(3, use_bn=cfg.BATCH_NORM, axis_name=axis_name,
+        p = LinearBN(3, use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                      name="linear_p_0")(dxyz, mask=out_mask, train=train)
         p = nn.relu(p)
         p = nn.Dense(self.out_planes, name="linear_p_1")(p)
@@ -465,7 +488,7 @@ class PointTransformerLayer(nn.Module):
             w = MaskedBatchNorm(mid, axis_name=axis_name, name="bn_w")(
                 w, mask=out_mask, use_running_average=not train)
         w = nn.relu(w)
-        w = LinearBN(mid // self.share_planes, use_bn=cfg.BATCH_NORM,
+        w = LinearBN(mid // self.share_planes, use_bn=cfg.BATCH_NORM, dtype=dtype,
                      axis_name=axis_name, name="linear_w_0")(w, mask=out_mask, train=train)
         w = nn.relu(w)
         w = nn.Dense(self.out_planes // self.share_planes, name="linear_w_1")(w)
@@ -481,7 +504,7 @@ class PointTransformerLayer(nn.Module):
         else:
             sparse_feats = feats
         if self.in_planes != self.out_planes:
-            shortcut = UnaryBlock(self.out_planes, use_bn=True, no_relu=True,
+            shortcut = UnaryBlock(self.out_planes, use_bn=True, dtype=dtype, no_relu=True,
                                   axis_name=axis_name, name="unary_shortcut")(
                 sparse_feats, mask=out_mask, train=train)
         else:

@@ -101,12 +101,13 @@ class LinearBN(nn.Module):
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = False
     ) -> jnp.ndarray:
-        x = nn.Dense(self.out_dim, name="c")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c")(x)
         if self.use_bn:
             x = MaskedBatchNorm(
                 self.out_dim,
@@ -126,6 +127,7 @@ class UnaryBlock(nn.Module):
     bn_momentum: float = 0.1
     no_relu: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -136,6 +138,7 @@ class UnaryBlock(nn.Module):
             bn_momentum=self.bn_momentum,
             axis_name=self.axis_name,
             use_bn=self.use_bn,
+            dtype=self.dtype,
             name="mlp",
         )(x, mask=mask, train=train)
         if not self.no_relu:

@@ -26,12 +26,14 @@ class _WeightNetCore(nn.Module):
     hidden_unit: Sequence[int]
     use_bn: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         dims = list(self.hidden_unit) + [self.out_channel]
         for i, d in enumerate(dims):
             x = LinearBN(d, use_bn=self.use_bn, axis_name=self.axis_name,
+                         dtype=self.dtype,
                          name=f"mlp_convs_{i}")(x, mask=mask, train=train)
             x = nn.relu(x)
         return x
@@ -43,6 +45,7 @@ class WeightNet(nn.Module):
     efficient: bool = False
     use_bn: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -53,5 +56,6 @@ class WeightNet(nn.Module):
             _WeightNetCore, static_argnums=(3,), prevent_cse=False
         )
         return core(
-            self.out_channel, hidden, self.use_bn, self.axis_name, name="core"
+            self.out_channel, hidden, self.use_bn, self.axis_name, self.dtype,
+            name="core"
         )(localized_xyz, mask, train)

@@ -1,4 +1,4 @@
-"""Brute-force kNN as tiled distance matrices + running top-k.
+"""Brute-force kNN as tiled distance rows + top-k.
 
 TPU-native replacement for the reference's CPU nanoflann KD-trees
 (cpp_wrappers/cpp_neighbors/neighbors.cpp:339-443), sklearn KDTree
@@ -9,16 +9,20 @@ path), and works directly on the packed multi-cloud layout via per-point
 batch ids — neighbors never cross cloud boundaries.
 
 Design notes (static shapes, XLA-friendly):
-  * query dim is tiled with `lax.map` (sequential), ref dim with `lax.scan`;
-    only a [q_tile, ref_chunk] distance tile is ever live, so nothing of
-    O(M*N) touches HBM.
-  * the running top-k is merged per chunk with `lax.top_k` over the
-    concatenation [best | chunk]; ties prefer earlier candidates, so results
-    are sorted by ascending distance with self first for self-edges.
-  * invalid refs (padding or different cloud) get +BIG distance. If a query
-    has fewer than k valid refs, trailing neighbors fall back to the nearest
-    valid ref (reference instead samples random indices when num_ref < K,
-    datasetCommon.py:108-114 — any valid index is equally arbitrary there).
+  * distances use the direct sum_d (q_d - r_d)^2 form — the
+    |q|^2 - 2 q.r + |r|^2 expansion loses ~1e-2 absolute precision to
+    cancellation on TPU, breaking the self-first invariant of self-edges
+    (a point's own distance must be exactly 0);
+  * queries are tiled with `lax.map`; each tile computes its FULL distance
+    row [q_tile, N] and runs ONE top-k — measured 8x faster than a chunked
+    running merge on v5e (the serial per-chunk top_k merges dominate);
+    for very large N the row is capped by shrinking q_tile;
+  * method='approx' uses lax.approx_max_k (TPU-optimized partial reduction,
+    recall ~0.997 at k=16/N=40k) for a further ~2x; the global max (self)
+    always survives, so self-edges keep self first;
+  * invalid refs (padding or different cloud) get +BIG distance; queries
+    with < k valid refs fall back to their nearest valid ref (reference
+    samples random indices in that case, datasetCommon.py:108-114).
 """
 
 from __future__ import annotations
@@ -31,6 +35,10 @@ from jax import lax
 
 # plain float (not jnp scalar): module import must not initialize a backend
 _BIG = 1e10
+# cap on the [q_tile, N] distance row (f32 elements) per map step.
+# Keep tiles big: many small top_k calls are far slower than few big ones
+# (measured 20x on v5e); 256M elements = a 1GB f32 row buffer.
+_ROW_BUDGET = 256 * 1024 * 1024
 
 
 def _pad_rows(x: jnp.ndarray, n: int, value=0):
@@ -39,7 +47,7 @@ def _pad_rows(x: jnp.ndarray, n: int, value=0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "q_tile", "ref_chunk", "return_dist")
+    jax.jit, static_argnames=("k", "q_tile", "method", "return_dist")
 )
 def knn(
     query: jnp.ndarray,
@@ -49,8 +57,8 @@ def knn(
     query_bid: jnp.ndarray | None = None,
     ref_bid: jnp.ndarray | None = None,
     ref_mask: jnp.ndarray | None = None,
-    q_tile: int = 4096,
-    ref_chunk: int = 2048,
+    q_tile: int = 2048,
+    method: str = "exact",
     return_dist: bool = False,
 ):
     """k-nearest-neighbors of `query` among `ref` (squared-L2 metric).
@@ -62,97 +70,65 @@ def knn(
       query_bid / ref_bid: optional [M] / [N] int cloud ids for packed batches;
         a neighbor is only valid if ids match.
       ref_mask: optional [N] bool validity mask for refs (padding rows False).
-      q_tile / ref_chunk: tiling parameters (VMEM working-set control).
+      q_tile: query tile size (shrunk automatically for huge N).
+      method: 'exact' (lax.top_k) or 'approx' (lax.approx_max_k, ~0.997
+        recall, ~2x faster).
       return_dist: also return the squared distances [M, k].
 
     Returns:
-      idx [M, k] int32 (and dists [M, k] float32 if return_dist).
+      idx [M, k] int32, sorted by ascending distance (self first for
+      self-queries), and dists [M, k] float32 if return_dist.
     """
     M, D = query.shape
     N = ref.shape[0]
+    # keep the [q_tile, N] row within budget
+    while q_tile > 256 and q_tile * N > _ROW_BUDGET:
+        q_tile //= 2
     q_tile = min(q_tile, max(8, M))
-    ref_chunk = min(ref_chunk, max(8, N))
-
     Mp = -(-M // q_tile) * q_tile
-    Np = -(-N // ref_chunk) * ref_chunk
 
     qf = _pad_rows(query.astype(jnp.float32), Mp)
-    rf = _pad_rows(ref.astype(jnp.float32), Np)
+    rf = ref.astype(jnp.float32)
 
-    r_valid = jnp.arange(Np) < N
+    r_invalid = jnp.zeros((N,), bool)
     if ref_mask is not None:
-        r_valid = r_valid & _pad_rows(ref_mask.astype(bool), Np)
-    if ref_bid is not None:
-        rbid = _pad_rows(ref_bid.astype(jnp.int32), Np, value=-1)
-    else:
-        rbid = None
+        r_invalid = ~ref_mask.astype(bool)
+    rbid = ref_bid.astype(jnp.int32) if ref_bid is not None else None
     if query_bid is not None:
         qbid = _pad_rows(query_bid.astype(jnp.int32), Mp, value=-2)
     else:
-        qbid = None
+        qbid = jnp.zeros((Mp,), jnp.int32)
 
     num_q_tiles = Mp // q_tile
-    num_chunks = Np // ref_chunk
-
-    r_chunks = rf.reshape(num_chunks, ref_chunk, D)
-    rv_chunks = r_valid.reshape(num_chunks, ref_chunk)
-    rb_chunks = rbid.reshape(num_chunks, ref_chunk) if rbid is not None else None
-    base_idx = (jnp.arange(num_chunks, dtype=jnp.int32) * ref_chunk)[:, None] + jnp.arange(
-        ref_chunk, dtype=jnp.int32
-    )[None, :]
 
     def per_tile(tile_args):
         q, qb = tile_args
-        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # [qt, 1]
-
-        def body(carry, chunk):
-            best_neg, best_idx = carry
-            r, rv, rb, bidx = chunk
-            r_sq = jnp.sum(r * r, axis=-1)  # [rc]
-            # d^2 = |q|^2 - 2 q.r + |r|^2, the q.r term rides the MXU.
-            # full-f32 matmul: default (bf16-ish) precision corrupts distances
-            d = (
-                q_sq
-                - 2.0 * jnp.dot(q, r.T, preferred_element_type=jnp.float32,
-                                precision=lax.Precision.HIGHEST)
-                + r_sq[None, :]
-            )
-            invalid = ~rv[None, :]
-            if rb is not None:
-                invalid = invalid | (qb[:, None] != rb[None, :])
-            neg = jnp.where(invalid, -_BIG, -d)
-            cand_neg = jnp.concatenate([best_neg, neg], axis=1)
-            cand_idx = jnp.concatenate(
-                [best_idx, jnp.broadcast_to(bidx[None, :], neg.shape)], axis=1
-            )
-            new_neg, sel = lax.top_k(cand_neg, k)
-            new_idx = jnp.take_along_axis(cand_idx, sel, axis=1)
-            return (new_neg, new_idx), None
-
-        init = (
-            jnp.full((q.shape[0], k), -_BIG * 2, dtype=jnp.float32),
-            jnp.zeros((q.shape[0], k), dtype=jnp.int32),
-        )
-        chunks = (r_chunks, rv_chunks, rb_chunks, base_idx)
-        (best_neg, best_idx), _ = lax.scan(body, init, chunks)
-        # Fallback for queries with < k valid refs: clamp to nearest valid.
+        d = jnp.zeros((q.shape[0], N), jnp.float32)
+        for dim in range(D):
+            diff = q[:, dim:dim + 1] - rf[None, :, dim]
+            d = d + diff * diff
+        invalid = r_invalid[None, :]
+        if rbid is not None:
+            invalid = invalid | (qb[:, None] != rbid[None, :])
+        neg = jnp.where(invalid, -_BIG, -d)
+        if method == "approx":
+            best_neg, best_idx = lax.approx_max_k(neg, k, recall_target=0.99)
+        else:
+            best_neg, best_idx = lax.top_k(neg, k)
+        best_idx = best_idx.astype(jnp.int32)
+        # fallback for queries with < k valid refs: clamp to nearest valid
         have = best_neg > -_BIG
-        nearest = best_idx[:, :1]
-        best_idx = jnp.where(have, best_idx, nearest)
-        best_neg = jnp.where(have, best_neg, jnp.broadcast_to(best_neg[:, :1], best_neg.shape))
+        best_idx = jnp.where(have, best_idx, best_idx[:, :1])
+        best_neg = jnp.where(have, best_neg,
+                             jnp.broadcast_to(best_neg[:, :1], best_neg.shape))
         return best_neg, best_idx
 
     q_tiles = qf.reshape(num_q_tiles, q_tile, D)
-    qb_tiles = (
-        qbid.reshape(num_q_tiles, q_tile)
-        if qbid is not None
-        else jnp.zeros((num_q_tiles, q_tile), dtype=jnp.int32)
-    )
+    qb_tiles = qbid.reshape(num_q_tiles, q_tile)
     neg, idx = lax.map(per_tile, (q_tiles, qb_tiles))
     idx = idx.reshape(Mp, k)[:M]
     if return_dist:
-        d = (-neg.reshape(Mp, k))[:M]
-        return idx, d
+        return idx, (-neg.reshape(Mp, k))[:M]
     return idx
 
 

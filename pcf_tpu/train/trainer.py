@@ -40,14 +40,24 @@ def build_mesh_and_cfg(cfg):
     return mesh
 
 
-def _group_batches(loader, group: int):
+def _group_batches(loader, group: int, map_fn=None):
     """Yield lists of `group` consecutive packed batches (one per device)."""
     buf = []
     for b in loader:
-        buf.append(b)
+        buf.append(b if map_fn is None else map_fn(b))
         if len(buf) == group:
             yield buf
             buf = []
+
+
+def _post_knn_fn(cfg):
+    """On-device kNN after batching (cfg.post_knn; reference wiring
+    train_ScanNet_DDP_WarmUP.py:379-386)."""
+    if not cfg.get("post_knn"):
+        return None
+    from pcf_tpu.data.post_knn import prepare
+
+    return lambda b: prepare(b, cfg)
 
 
 def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
@@ -63,7 +73,7 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
     n_dev = mesh.size if mesh is not None else 1
     t0 = time.time()
     it = 0
-    src = _group_batches(loader, n_dev) if mesh is not None else ((b,) for b in loader)
+    src = _group_batches(loader, n_dev, _post_knn_fn(cfg))
     for group in src:
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), epoch * 100000 + it)
@@ -95,7 +105,7 @@ def validate(eval_step, state, loader, mesh, cfg, logger):
     union_sum = np.zeros(cfg.num_classes)
     target_sum = np.zeros(cfg.num_classes)
     n_dev = mesh.size if mesh is not None else 1
-    src = _group_batches(loader, n_dev) if mesh is not None else ((b,) for b in loader)
+    src = _group_batches(loader, n_dev, _post_knn_fn(cfg))
     for group in src:
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         logits = eval_step(state, batch)
@@ -136,10 +146,16 @@ def main(cfg):
     from pcf_tpu.train.checkpoint import CheckpointManager
     from pcf_tpu.train.state import create_train_state, make_optimizer
 
+    from pcf_tpu.utils.experiment import MetricsWriter, snapshot_code
+
     exp_dir = cfg.get("experiment_dir", "./experiment")
     os.makedirs(exp_dir, exist_ok=True)
     logger = get_logger(exp_dir, distributed_rank=jax.process_index())
     logger.info(f"devices: {jax.devices()}")
+    if jax.process_index() == 0:
+        # reproducibility snapshot (reference: code_log/, trainer :118-137)
+        snapshot_code(exp_dir, cfg.get("config"))
+    writer = MetricsWriter(exp_dir, cfg.get("use_tensorboard", False))
 
     mesh = build_mesh_and_cfg(cfg)
     train_loader, val_loader, train_ds, _ = getdataLoaders(
@@ -149,6 +165,9 @@ def main(cfg):
 
     # init from one real batch (jitted: eager init is pathological on TPU)
     first = next(iter(train_loader))
+    pk = _post_knn_fn(cfg)
+    if pk is not None:
+        first = pk(first)
     variables = jax.jit(
         lambda k: model.init(
             k, first.feats, list(first.points), list(first.edges_self),
@@ -181,17 +200,23 @@ def main(cfg):
         logger.info(
             f"Train epoch {epoch}: loss {loss:.4f} mIoU/mAcc/allAcc "
             f"{miou:.4f}/{macc:.4f}/{allacc:.4f}")
+        writer.write(epoch, train_loss=loss, train_miou=miou,
+                     train_macc=macc, train_allacc=allacc,
+                     lr=float(schedule(int(state.step))))
 
         epoch_log = epoch + 1
         metrics = {}
         if epoch_log % cfg.eval_freq == 0:
-            vmiou, _, _ = validate(eval_step, state, val_loader, mesh, cfg, logger)
+            vmiou, vmacc, vallacc = validate(eval_step, state, val_loader, mesh, cfg, logger)
             metrics["miou"] = vmiou
             best_miou = max(best_miou, vmiou)
+            writer.write(epoch, val_miou=vmiou, val_macc=vmacc,
+                         val_allacc=vallacc)
         if epoch_log % cfg.save_freq == 0 and jax.process_index() == 0:
             ckpt.save(epoch_log, state, metrics)
             logger.info(f"saved checkpoint at epoch {epoch_log}")
     ckpt.close()
+    writer.close()
     return state
 
 
