@@ -125,4 +125,6 @@ def from_config(cfg, iter_per_epoch: int):
             first_cycle_steps=cfg.total_epoches * iter_per_epoch,
             max_lr=cfg.learning_rate, min_lr=1e-8,
             warmup_steps=cfg.warmup_epochs * iter_per_epoch, gamma=1.0)
+    elif cfg.scheduler == "Constant":
+        return lambda step: cfg.learning_rate
     raise ValueError(f"No such scheduler {cfg.scheduler}")

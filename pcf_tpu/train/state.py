@@ -32,8 +32,13 @@ def make_optimizer(cfg, iter_per_epoch: int = 1):
     if cfg.optimizer == "SGD":
         opt = optax.sgd(schedule, momentum=0.9)
     elif cfg.optimizer == "Adam":
-        opt = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                          weight_decay=cfg.decay_rate)
+        # torch Adam(weight_decay=d) is COUPLED L2 (decay added to the grad
+        # before the moment updates, train_ScanNet_DDP_WarmUP.py:231-236) —
+        # not decoupled AdamW. add_decayed_weights BEFORE adam reproduces it.
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.decay_rate),
+            optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8),
+        )
     elif cfg.optimizer == "AdamW":
         opt = optax.adamw(schedule, weight_decay=cfg.adamw_decay)
     else:
