@@ -1,9 +1,14 @@
-"""Hash-based voxelization (host-side, numpy).
+"""Host-side voxel selection for the input pipeline.
 
-Functional re-implementation of the reference's util/voxelize.py:10-82.
-Runs in the input pipeline (host), selecting at most one point per voxel
-('random' / 'deterministic') or covering sets ('multiple', used by the
-voting evaluator so every raw point is predicted at least once).
+Serves the same three roles as the reference's util/voxelize.py:44-82 —
+pick one point per occupied voxel for training ('random'), a reproducible
+representative ('deterministic'), or covering index sets for evaluation
+('multiple', used by the voting evaluator so every raw point is predicted
+at least once) — but is designed differently: instead of FNV/ravel hashing
+followed by a sort over hash values, points are binned with an exact
+(collision-free) linear cell index and grouped with a single stable argsort,
+so intra-voxel order is the original point order and no hash collisions are
+possible.
 """
 
 from __future__ import annotations
@@ -11,65 +16,53 @@ from __future__ import annotations
 import numpy as np
 
 
-def fnv_hash_vec(arr: np.ndarray) -> np.ndarray:
-    """FNV64-1A hash of integer coordinate rows (reference: util/voxelize.py:10-22)."""
-    assert arr.ndim == 2
-    arr = arr.copy().astype(np.uint64, copy=False)
-    hashed = np.uint64(14695981039346656037) * np.ones(arr.shape[0], dtype=np.uint64)
-    for j in range(arr.shape[1]):
-        hashed *= np.uint64(1099511628211)
-        hashed = np.bitwise_xor(hashed, arr[:, j])
-    return hashed
+def voxel_cell_ids(coord: np.ndarray, voxel_size: float | np.ndarray) -> np.ndarray:
+    """Exact linear cell index of each point: [N] int64.
+
+    Cells are the integer lattice of floor(coord / voxel_size), shifted to
+    start at 0 and raveled C-style over the occupied bounding box. Unlike a
+    hash, equal ids <=> same voxel, always.
+    """
+    cells = np.floor(coord / np.asarray(voxel_size)).astype(np.int64)
+    cells -= cells.min(axis=0)
+    dims = cells.max(axis=0) + 1
+    strides = np.ones_like(dims)
+    strides[:-1] = np.cumprod(dims[::-1])[-2::-1]
+    return cells @ strides
 
 
-def ravel_hash_vec(arr: np.ndarray) -> np.ndarray:
-    """Fortran-order ravel of min-shifted coordinates (reference: util/voxelize.py:25-41)."""
-    assert arr.ndim == 2
-    arr = arr.copy()
-    arr -= arr.min(0)
-    arr = arr.astype(np.uint64, copy=False)
-    arr_max = arr.max(0).astype(np.uint64) + 1
-
-    keys = np.zeros(arr.shape[0], dtype=np.uint64)
-    for j in range(arr.shape[1] - 1):
-        keys += arr[:, j]
-        keys *= arr_max[j + 1]
-    keys += arr[:, -1]
-    return keys
+def _group_by_voxel(coord, voxel_size):
+    """Stable grouping: returns (order, starts, counts) where
+    order[starts[v]:starts[v]+counts[v]] are the input indices of voxel v,
+    in original point order."""
+    ids = voxel_cell_ids(coord, voxel_size)
+    order = np.argsort(ids, kind="stable")
+    _, starts, counts = np.unique(ids[order], return_index=True, return_counts=True)
+    return order, starts, counts
 
 
 def voxelize(
     coord: np.ndarray,
     voxel_size: float | np.ndarray = 0.05,
-    hash_type: str = "fnv",
+    hash_type: str = "exact",  # accepted for reference-YAML compat; unused
     mode: str = "random",
     rng: np.random.Generator | None = None,
 ):
-    """Select representative point indices per voxel (reference: util/voxelize.py:44-82).
+    """Representative point indices per occupied voxel.
 
-    mode='random': one uniformly random point per voxel (training).
-    mode='deterministic': the first point (by hash sort) per voxel.
-    mode='multiple': a list of index sets that jointly cover every point
-      (evaluation; set i holds the i%count-th point of each voxel).
+    mode='random': one uniformly random point per voxel (training; the
+      reference draws max-then-mod which is slightly biased — here the draw
+      is exact per-voxel uniform).
+    mode='deterministic': the lowest original index per voxel.
+    mode='multiple': a list of index arrays that jointly cover every point;
+      set i holds each voxel's (i mod count)-th point (evaluation,
+      reference behavior util/voxelize.py:71-77).
     """
-    discrete_coord = np.floor(coord / np.array(voxel_size))
-    if hash_type == "ravel":
-        key = ravel_hash_vec(discrete_coord)
-    else:
-        key = fnv_hash_vec(discrete_coord)
-
-    idx_sort = np.argsort(key)
-    key_sort = key[idx_sort]
-    _, count = np.unique(key_sort, return_counts=True)
-    starts = np.cumsum(np.insert(count, 0, 0))[:-1]
+    order, starts, counts = _group_by_voxel(coord, voxel_size)
     if mode == "deterministic":
-        return idx_sort[starts]
-    elif mode == "multiple":
-        idx_data = []
-        for i in range(count.max()):
-            idx_data.append(idx_sort[starts + i % count])
-        return idx_data
-    else:  # 'random'
-        rng = rng or np.random.default_rng()
-        offs = rng.integers(0, count.max(), size=count.size) % count
-        return idx_sort[starts + offs]
+        # stable grouping => position `starts` is the first-seen point
+        return order[starts]
+    if mode == "multiple":
+        return [order[starts + i % counts] for i in range(int(counts.max()))]
+    rng = rng or np.random.default_rng()
+    return order[starts + rng.integers(0, counts)]
