@@ -278,24 +278,49 @@ class PackedLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         return idx[self.process_index::self.process_count]
 
+    def _fits(self, batch, item) -> bool:
+        """Would `batch + [item]` still pack under the pinned level caps?"""
+        if self.level_caps is None:
+            return True
+        for lvl, cap in enumerate(self.level_caps):
+            total = item["point_list"][lvl].shape[0] + sum(
+                s["point_list"][lvl].shape[0] for s in batch)
+            if total > cap:
+                return False
+        return True
+
     def __iter__(self) -> Iterator[PackedPyramid]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+
+        def _pack(batch):
+            return pack_scenes(batch, level_caps=self.level_caps,
+                               bucket_multiple=self.bucket_multiple,
+                               ignore_label=self.dataset.cfg.ignore_label)
 
         def producer():
             try:
                 batch = []
                 for i in self._indices():
-                    batch.append(self.dataset[int(i)])
+                    item = self.dataset[int(i)]
+                    if not self._fits(batch, item):
+                        # pinned caps (mesh mode): emit a short batch rather
+                        # than overflow — every batch keeps identical static
+                        # shapes, no scene is ever dropped.
+                        if not batch:
+                            sizes = [p.shape[0] for p in item["point_list"]]
+                            raise ValueError(
+                                f"scene {i} alone exceeds level_caps "
+                                f"{list(self.level_caps)} (sizes {sizes}); "
+                                "raise cfg.level_caps_margin or MAX_POINTS_NUM")
+                        q.put(_pack(batch))
+                        batch = []
+                    batch.append(item)
                     if len(batch) == self.batch_size:
-                        q.put(pack_scenes(batch, level_caps=self.level_caps,
-                                          bucket_multiple=self.bucket_multiple,
-                                          ignore_label=self.dataset.cfg.ignore_label))
+                        q.put(_pack(batch))
                         batch = []
                 if batch and not self.drop_last:
-                    q.put(pack_scenes(batch, level_caps=self.level_caps,
-                                      bucket_multiple=self.bucket_multiple,
-                                      ignore_label=self.dataset.cfg.ignore_label))
+                    q.put(_pack(batch))
             except BaseException as e:  # propagate into the consumer
                 q.put(e)
                 return
@@ -312,18 +337,57 @@ class PackedLoader:
             yield item
 
 
+def estimate_level_caps(datasets, batch_size: int, bucket_multiple: int,
+                        sample: int = 16, margin: float = 1.25,
+                        seed: int = 0) -> list[int]:
+    """Dataset-derived global level caps for pinned-shape (mesh) batching.
+
+    Samples scenes from each dataset, measures per-level pyramid sizes, and
+    sizes every cap to `batch_size * max_level_size * margin` rounded to the
+    bucket. Batches that would still overflow (augmentation variance) are
+    split by PackedLoader._fits, so the margin trades padding waste against
+    occasional short batches — never correctness.
+    """
+    rng = np.random.default_rng(seed)
+    max_sizes: list[np.ndarray] = []
+    for ds in datasets:
+        idx = rng.permutation(len(ds))[:sample]
+        for i in idx:
+            item = ds[int(i)]
+            sizes = np.array([p.shape[0] for p in item["point_list"]])
+            max_sizes.append(sizes)
+    per_level = np.max(np.stack(max_sizes), axis=0)
+    return compute_level_caps(
+        [int(s * batch_size * margin) for s in per_level], bucket_multiple)
+
+
 def getdataLoaders(cfg, process_index: int = 0, process_count: int = 1):
-    """Train + val loaders (reference API: scannet_data_loader_color_DDP.py:303-344)."""
+    """Train + val loaders (reference API: scannet_data_loader_color_DDP.py:303-344).
+
+    With cfg.pin_level_caps (set by the trainer under a device mesh), both
+    loaders share one dataset-derived set of level caps so every packed batch
+    has identical shapes — stack_batches never sees a shape mismatch and XLA
+    compiles the train step exactly once.
+    """
     train_ds = ScanNetDataset(cfg, "training", seed=cfg.manual_seed)
     val_ds = ScanNetDataset(cfg, "validation", seed=cfg.manual_seed + 1)
+    level_caps = cfg.get("level_caps")
+    if level_caps is None and cfg.get("pin_level_caps"):
+        level_caps = estimate_level_caps(
+            [train_ds, val_ds], cfg.BATCH_SIZE, cfg.bucket_multiple,
+            sample=cfg.get("level_caps_sample", 16),
+            margin=cfg.get("level_caps_margin", 1.25), seed=cfg.manual_seed)
+        cfg.level_caps = level_caps
     train_loader = PackedLoader(
         train_ds, cfg.BATCH_SIZE, bucket_multiple=cfg.bucket_multiple,
         shuffle=True, drop_last=True, seed=cfg.manual_seed,
-        process_index=process_index, process_count=process_count)
+        process_index=process_index, process_count=process_count,
+        level_caps=level_caps)
     val_loader = PackedLoader(
         val_ds, cfg.BATCH_SIZE, bucket_multiple=cfg.bucket_multiple,
         shuffle=False, drop_last=False,
-        process_index=process_index, process_count=process_count)
+        process_index=process_index, process_count=process_count,
+        level_caps=level_caps)
     return train_loader, val_loader, train_ds, val_ds
 
 

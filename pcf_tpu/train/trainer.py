@@ -7,7 +7,8 @@ all-reduced across the mesh, checkpoint + best tracking) on a jit+shard_map
 data-parallel step instead of DDP/NCCL.
 
 Improvements over the reference (SURVEY.md §5): real resume (the reference
-hardcodes init_epoch=0), Orbax checkpoints, jax.profiler hook.
+hardcodes init_epoch=0), Orbax checkpoints, and an optional jax.profiler
+trace (cfg.profile_dir traces cfg.profile_steps steps of the first epoch).
 
 Usage: python -m pcf_tpu.train.trainer --config pcf_tpu/configs/pcf_10cm.yaml
 """
@@ -40,14 +41,21 @@ def build_mesh_and_cfg(cfg):
     return mesh
 
 
-def _group_batches(loader, group: int, map_fn=None):
-    """Yield lists of `group` consecutive packed batches (one per device)."""
+def _group_batches(loader, group: int, map_fn=None, pad_tail: bool = False):
+    """Yield (batches, n_real): `group` consecutive packed batches (one per
+    device) plus how many are real. With pad_tail the final partial group is
+    padded by repeating its last batch (shapes are pinned under a mesh), so
+    validation covers every scene; without it the tail is dropped (training)."""
     buf = []
     for b in loader:
         buf.append(b if map_fn is None else map_fn(b))
         if len(buf) == group:
-            yield buf
+            yield buf, group
             buf = []
+    if buf and pad_tail:
+        n_real = len(buf)
+        buf.extend(buf[-1:] * (group - n_real))
+        yield buf, n_real
 
 
 def _post_knn_fn(cfg):
@@ -73,8 +81,15 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
     n_dev = mesh.size if mesh is not None else 1
     t0 = time.time()
     it = 0
+    # optional profiler trace of the first epoch's steady-state steps
+    profile_dir = cfg.get("profile_dir") if epoch == cfg.get("profile_epoch", 0) else None
+    profile_steps = cfg.get("profile_steps", 5)
+    tracing = False
     src = _group_batches(loader, n_dev, _post_knn_fn(cfg))
-    for group in src:
+    for group, _ in src:
+        if profile_dir and it == 1 and not tracing:
+            jax.profiler.start_trace(profile_dir)
+            tracing = True
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), epoch * 100000 + it)
         state, metrics = step_fn(state, batch, rng)
@@ -83,12 +98,18 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
         union_sum += np.asarray(metrics["union"])
         target_sum += np.asarray(metrics["target"])
         it += 1
+        if tracing and it > profile_steps:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            tracing = False
         if it % cfg.print_freq == 0:
             miou = np.mean(inter_sum / np.maximum(union_sum, 1))
             logger.info(
                 f"epoch {epoch} iter {it} loss {loss_meter.val:.4f} "
                 f"(avg {loss_meter.avg:.4f}) mIoU {miou:.4f} "
                 f"{(time.time() - t0) / it:.2f}s/it")
+    if tracing:
+        jax.profiler.stop_trace()
     miou = float(np.mean(inter_sum / np.maximum(union_sum, 1)))
     macc = float(np.mean(inter_sum / np.maximum(target_sum, 1)))
     allacc = float(inter_sum.sum() / max(target_sum.sum(), 1))
@@ -105,12 +126,12 @@ def validate(eval_step, state, loader, mesh, cfg, logger):
     union_sum = np.zeros(cfg.num_classes)
     target_sum = np.zeros(cfg.num_classes)
     n_dev = mesh.size if mesh is not None else 1
-    src = _group_batches(loader, n_dev, _post_knn_fn(cfg))
-    for group in src:
+    src = _group_batches(loader, n_dev, _post_knn_fn(cfg), pad_tail=True)
+    for group, n_real in src:
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         logits = eval_step(state, batch)
         if mesh is not None:
-            for d in range(n_dev):
+            for d in range(n_real):
                 b = group[d]
                 pred = np.asarray(logits[d]).argmax(-1)
                 i, u, t = intersection_and_union(
@@ -138,6 +159,13 @@ def validate(eval_step, state, loader, mesh, cfg, logger):
 
 
 def main(cfg):
+    # Multi-host bootstrap (reference analog: dist.init_process_group over
+    # RANK/WORLD_SIZE env, train_ScanNet_DDP_WarmUP.py:153-166). JAX reads the
+    # coordinator/process env itself; must run before any other jax call.
+    if cfg.get("multi_host") or os.environ.get("COORDINATOR_ADDRESS"):
+        import jax
+
+        jax.distributed.initialize()
     import jax
 
     from pcf_tpu.data.scannet import getdataLoaders
@@ -158,6 +186,10 @@ def main(cfg):
     writer = MetricsWriter(exp_dir, cfg.get("use_tensorboard", False))
 
     mesh = build_mesh_and_cfg(cfg)
+    if mesh is not None:
+        # pinned global level caps: identical batch shapes across the mesh
+        # (stack_batches requirement) and a single XLA compilation
+        cfg.setdefault("pin_level_caps", True)
     train_loader, val_loader, train_ds, _ = getdataLoaders(
         cfg, jax.process_index(), jax.process_count())
 
