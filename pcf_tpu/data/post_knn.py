@@ -16,9 +16,11 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from pcf_tpu.core.batching import PackedPyramid
 from pcf_tpu.ops.knn import knn
+from pcf_tpu.ops.subsample import grid_subsample_fixed
 
 
 @functools.partial(jax.jit,
@@ -62,13 +64,90 @@ def compute_knn_packed(
     )
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("grid_sizes", "level_caps", "n_scenes",
+                                    "k_self", "k_forward", "k_propagate",
+                                    "method"))
+def build_pyramid_packed(
+    batch: PackedPyramid,
+    grid_sizes: tuple,
+    level_caps: tuple,
+    n_scenes: int,
+    k_self: tuple,
+    k_forward: tuple,
+    k_propagate: tuple,
+    method: str = "approx",
+):
+    """Fully on-device pipeline: the host ships only the packed level-0 cloud
+    (load + augment + finest-grid voxelize); grid subsampling of every higher
+    level AND all three kNN edge sets run in one jit program on the TPU.
+
+    The reference has no equivalent — its closest mode is post_knn, where
+    subsampling still runs in CPU workers (scannet_data_loader_color_DDP.py:
+    259-263) and only kNN moves to the GPU (knn_post_dataloader_utils.py).
+
+    Returns (PackedPyramid with all levels + edges, overflow flag: True if
+    any level had more voxels than its cap — result invalid, raise the caps).
+    """
+    points = [batch.points[0]]
+    norms = [batch.norms[0]]
+    masks = [batch.masks[0]]
+    bids = [batch.bids[0]]
+    overflow = jnp.zeros((), bool)
+    for lvl in range(1, len(grid_sizes)):
+        sub = grid_subsample_fixed(
+            points[-1], masks[-1], float(grid_sizes[lvl]), int(level_caps[lvl]),
+            features=norms[-1], bid=bids[-1], n_scenes=n_scenes)
+        nrm = sub["feats"]
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-8)
+        points.append(sub["points"])
+        norms.append(nrm)
+        masks.append(sub["mask"])
+        bids.append(sub["bid"])
+        overflow |= sub["overflow"]
+
+    full = batch.replace(points=tuple(points), norms=tuple(norms),
+                         masks=tuple(masks), bids=tuple(bids))
+    full = compute_knn_packed(full, k_self, k_forward, k_propagate,
+                              method=method)
+    return full, overflow
+
+
+def device_level_caps(cfg, cap0: int) -> tuple:
+    """Per-level caps for the device pyramid: configured, or derived from the
+    level-0 cap with a ~2.8x shrink per level (conservative vs the ~4-8x a
+    grid-size doubling gives on real scans)."""
+    if cfg.get("device_level_caps"):
+        return tuple(int(c) for c in cfg.device_level_caps)
+    caps = [cap0]
+    for _ in range(1, len(cfg.grid_size)):
+        caps.append(max(256, -(-int(caps[-1] / 2.8) // 128) * 128))
+    return tuple(caps)
+
+
 def prepare(batch: PackedPyramid, cfg) -> PackedPyramid:
-    """Trainer-facing wrapper (API parity with knn_post_dataloader_utils.prepare)."""
-    n = batch.num_levels
+    """Trainer-facing wrapper (API parity with knn_post_dataloader_utils.prepare).
+
+    cfg.post_knn: edges on device. cfg.device_pyramid: subsampling AND edges
+    on device (the host item carries only level 0)."""
+    n = len(cfg.grid_size)
 
     def _k(v):
         return tuple(v) if isinstance(v, (list, tuple)) else (int(v),) * n
 
+    if cfg.get("device_pyramid"):
+        cap0 = batch.points[0].shape[0]
+        full, overflow = build_pyramid_packed(
+            batch, tuple(float(g) for g in cfg.grid_size),
+            device_level_caps(cfg, cap0), int(cfg.BATCH_SIZE),
+            _k(cfg.get("K_self", 16)), _k(cfg.get("K_forward", 16)),
+            _k(cfg.get("K_propagate", 16)),
+            method=cfg.get("knn_method", "approx"))
+        if cfg.get("check_pyramid_overflow", True) and bool(overflow):
+            raise ValueError(
+                "device pyramid overflowed a level cap; raise "
+                "cfg.device_level_caps (or MAX_POINTS_NUM)")
+        return full
     return compute_knn_packed(batch, _k(cfg.get("K_self", 16)),
                               _k(cfg.get("K_forward", 16)),
                               _k(cfg.get("K_propagate", 16)),

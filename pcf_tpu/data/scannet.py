@@ -230,6 +230,16 @@ class ScanNetDataset:
 
     def _build_item(self, coord, norm, color, label):
         cfg = self.cfg
+        if cfg.get("device_pyramid"):
+            # fully on-device pipeline: the host ships level 0 only; grid
+            # subsampling + kNN happen in one jit program after packing
+            # (pcf_tpu/data/post_knn.py build_pyramid_packed)
+            return {
+                "point_list": [coord.astype(np.float32)],
+                "surface_normal_list": [norm.astype(np.float32)],
+                "feature_list": color.astype(np.float32),
+                "label_list": label.astype(np.int32),
+            }
         if cfg.post_knn:
             # pyramid only; kNN graphs are built on device after batching
             point_list, norm_list = subsample(coord, norm, grid_size=cfg.grid_size)

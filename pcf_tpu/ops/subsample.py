@@ -77,48 +77,79 @@ def grid_subsample_fixed(
     sample_dl: float,
     capacity: int,
     features: jnp.ndarray | None = None,
+    labels: jnp.ndarray | None = None,
+    num_classes: int | None = None,
+    bid: jnp.ndarray | None = None,
+    n_scenes: int = 1,
 ):
-    """Static-shape on-device grid subsampling.
+    """Static-shape on-device grid subsampling (one jit program).
 
-    Sorts points by voxel key, reduces per segment, and scatters the per-voxel
-    barycenters into a `capacity`-row output. Voxels beyond `capacity` are
-    dropped (callers size capacity generously; voxel counts shrink ~8x per
-    level). Padded rows get mask=False and coordinates far outside the scene
-    so downstream kNN never selects them even unmasked.
+    Sorts points by voxel key, reduces per segment, and scatters the
+    per-voxel barycenters / feature means / majority-vote labels into a
+    `capacity`-row output. With `bid` (per-point scene id of a packed batch,
+    -1 on padding) the key separates scenes so one call subsamples a whole
+    packed batch. Padded rows get mask=False and coordinates far outside the
+    scene so downstream kNN never selects them even unmasked.
 
-    Returns (sub_points [capacity,3], sub_feats or None, sub_mask [capacity]).
+    Returns a dict: points [capacity,3], feats (or None), labels (or None,
+    int32 majority per voxel), bid [capacity] int32 (or None), mask
+    [capacity] bool, overflow () bool — True when the input had more voxels
+    than `capacity` (excess voxels were dropped) or when the bid-composed
+    key could overflow int32; callers must treat overflow=True as a
+    mis-sized capacity, not a valid result.
     """
     pts = points.astype(jnp.float32)
     big = jnp.float32(1e6)
     safe = jnp.where(mask[:, None], pts, big)
     origin = jnp.floor(jnp.min(safe, axis=0) / sample_dl) * sample_dl
-    # int32 ravel key: per-scene extents (indoor scenes / voxel size) keep
-    # dims[0]*dims[1]*dims[2] far below 2^31.
     cell = jnp.floor((pts - origin) / sample_dl).astype(jnp.int32)
     dims = jnp.max(jnp.where(mask[:, None], cell, 0), axis=0) + 1
     key = (cell[:, 0] * dims[1] + cell[:, 1]) * dims[2] + cell[:, 2]
+    # int32 key-range guard (detectable on device, checked via float math)
+    total_cells = jnp.prod(dims.astype(jnp.float32))
+    key_overflow = total_cells * n_scenes > jnp.float32(2 ** 31 - 1)
+    if bid is not None:
+        key = key * n_scenes + jnp.clip(bid, 0, n_scenes - 1)
     key = jnp.where(mask, key, jnp.iinfo(jnp.int32).max)  # padding sorts last
 
     order = jnp.argsort(key)
     key_s = key[order]
-    pts_s = pts[order]
     mask_s = mask[order]
 
     is_head = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]]) & mask_s
+    n_voxels = jnp.sum(is_head.astype(jnp.int32))
     seg_id = jnp.cumsum(is_head.astype(jnp.int32)) - 1  # [-1 or seg index]
-    seg_id = jnp.where(mask_s, seg_id, capacity)  # padding -> overflow row
+    seg_id = jnp.where(mask_s & (seg_id < capacity), seg_id, capacity)
 
     def seg_mean(vals):
         acc = jnp.zeros((capacity + 1, vals.shape[1]), vals.dtype).at[seg_id].add(vals)
         cnt = jnp.zeros((capacity + 1,), jnp.float32).at[seg_id].add(mask_s.astype(jnp.float32))
         return (acc / jnp.maximum(cnt[:, None], 1.0))[:capacity], cnt[:capacity]
 
-    sub_points, cnt = seg_mean(pts_s)
+    sub_points, cnt = seg_mean(pts[order])
     sub_mask = cnt > 0
     sub_points = jnp.where(sub_mask[:, None], sub_points, big)
 
-    sub_feats = None
+    out = {"points": sub_points, "feats": None, "labels": None, "bid": None,
+           "mask": sub_mask,
+           "overflow": (n_voxels > capacity) | key_overflow}
     if features is not None:
-        feats_s = features.astype(jnp.float32)[order]
-        sub_feats, _ = seg_mean(feats_s)
-    return sub_points, sub_feats, sub_mask
+        out["feats"], _ = seg_mean(features.astype(jnp.float32)[order])
+    if labels is not None:
+        assert num_classes is not None, "labels need num_classes for the vote"
+        lab_s = labels[order].astype(jnp.int32)
+        valid = mask_s & (lab_s >= 0) & (lab_s < num_classes)
+        onehot = jnp.where(
+            valid[:, None],
+            jax.nn.one_hot(jnp.clip(lab_s, 0, num_classes - 1), num_classes,
+                           dtype=jnp.int32),
+            0)
+        hist = jnp.zeros((capacity + 1, num_classes), jnp.int32).at[seg_id].add(onehot)
+        voted = jnp.argmax(hist[:capacity], axis=1).astype(jnp.int32)
+        any_vote = jnp.sum(hist[:capacity], axis=1) > 0
+        out["labels"] = jnp.where(sub_mask & any_vote, voted, -100)
+    if bid is not None:
+        bid_s = jnp.where(mask_s, bid[order].astype(jnp.int32), 0)
+        sub_bid = jnp.zeros((capacity + 1,), jnp.int32).at[seg_id].max(bid_s)[:capacity]
+        out["bid"] = jnp.where(sub_mask, sub_bid, -1)
+    return out

@@ -61,7 +61,7 @@ def _group_batches(loader, group: int, map_fn=None, pad_tail: bool = False):
 def _post_knn_fn(cfg):
     """On-device kNN after batching (cfg.post_knn; reference wiring
     train_ScanNet_DDP_WarmUP.py:379-386)."""
-    if not cfg.get("post_knn"):
+    if not (cfg.get("post_knn") or cfg.get("device_pyramid")):
         return None
     from pcf_tpu.data.post_knn import prepare
 

@@ -66,9 +66,11 @@ def test_grid_subsample_fixed_matches_host(rng):
     pad_f[:300] = feats
     mask = np.arange(n_pad) < 300
 
-    dp, df, dm = grid_subsample_fixed(
+    out = grid_subsample_fixed(
         jnp.asarray(pad_pts), jnp.asarray(mask), 0.4, capacity=256,
         features=jnp.asarray(pad_f))
+    dp, df, dm = out["points"], out["feats"], out["mask"]
+    assert not bool(out["overflow"])
     dm = np.asarray(dm)
     assert dm.sum() == host_p.shape[0]
     a, b = _match_rows(np.asarray(dp)[dm], host_p)
