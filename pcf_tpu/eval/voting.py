@@ -96,13 +96,12 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
             for item in all_data:
                 for chunk in _chunk_item(item, cfg.MAX_POINTS_NUM):
                     if "_slice" in chunk:
+                        # Oversized covering set: rebuild the pyramid from the
+                        # sliced level-0 points. (Slicing the existing pyramid
+                        # would keep stale edges into points outside the
+                        # chunk; the reference instead chunks pre-pyramid,
+                        # test_ScanNet_voting.py:35-73 — same semantics.)
                         s, e = chunk.pop("_slice")
-                        sub = {
-                            k: ([a[s:e] if i == 0 else a for i, a in enumerate(v)]
-                                if isinstance(v, list) else v[s:e])
-                            for k, v in item.items() if k != "crop_idx"
-                        }
-                        # rebuild pyramid for the chunk
                         sub_item = scene_to_item(
                             item["point_list"][0][s:e],
                             item["surface_normal_list"][0][s:e],

@@ -116,7 +116,11 @@ def knn(
         else:
             best_neg, best_idx = lax.top_k(neg, k)
         best_idx = best_idx.astype(jnp.int32)
-        # fallback for queries with < k valid refs: clamp to nearest valid
+        # Fallback for queries with < k valid refs: clamp to the nearest
+        # valid neighbor. CAVEAT: a query whose scene has ZERO valid refs
+        # (possible only for padding rows, whose bid=-1 matches no ref) gets
+        # the arbitrary argmax of an all-invalid row — callers MUST mask
+        # padded queries downstream and never consume their edges unmasked.
         have = best_neg > -_BIG
         best_idx = jnp.where(have, best_idx, best_idx[:, :1])
         best_neg = jnp.where(have, best_neg,

@@ -234,3 +234,86 @@ def test_greedy_fit_splits_oversized_batches(scene_dir):
     total_valid = sum(int(np.asarray(b.masks[0]).sum()) for b in batches)
     expected = sum(ds[i]["point_list"][0].shape[0] for i in range(3))
     assert total_valid == expected  # every point of every scene survives
+
+
+def test_grad_accumulation_semantics(scene_dir):
+    """accum_iter=k (optax.MultiSteps): params move only every k-th step, and
+    the accumulated update equals one step on the mean gradient (reference:
+    train_ScanNet_DDP_WarmUP.py:371-374,418-424)."""
+    import jax
+
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel import make_train_step
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = _cfg(scene_dir, accum_iter=2, optimizer="SGD", learning_rate=0.1,
+               rotate_aug=False, scale_aug=False, color_aug=False,
+               shuffle_index=False)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    loader = PackedLoader(ds, 2, level_caps=[1024, 512, 256], seed=0)
+    batch = next(iter(loader))
+
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    tx, _ = make_optimizer(cfg, iter_per_epoch=10)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, cfg)
+
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    state1, _ = step(state, batch, jax.random.PRNGKey(1))
+    # first accumulation step: parameters must NOT move
+    assert np.allclose(np.asarray(jax.tree_util.tree_leaves(state1.params)[0]),
+                       np.asarray(p0))
+    state2, _ = step(state1, batch, jax.random.PRNGKey(2))
+    # second step: parameters move
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]),
+        np.asarray(p0))
+
+
+def test_trainer_main_single_device(scene_dir, tmp_path):
+    """The trainer CLI entry end-to-end: epoch loop, eval cadence, checkpoint
+    save + resume, metrics.jsonl — on one (CPU) device."""
+    from pcf_tpu.train import trainer
+
+    cfg = _cfg(scene_dir, total_epoches=1, data_parallel=1,
+               experiment_dir=str(tmp_path / "exp"), NUM_WORKERS=0,
+               eval_freq=1, save_freq=1, warmup_epochs=1)
+    trainer.main(cfg.copy())
+    metrics = (tmp_path / "exp" / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) >= 1
+    assert (tmp_path / "exp" / "model").exists()
+
+    # resume: epoch 0 checkpoint exists, run to epoch 2
+    cfg2 = cfg.copy()
+    cfg2.total_epoches = 2
+    trainer.main(cfg2)
+    log = (tmp_path / "exp" / "log.txt").read_text()
+    assert "resumed from epoch 1" in log
+
+
+def test_trainer_main_mesh(scene_dir, tmp_path):
+    """Trainer main() under a 2-device mesh: pinned caps kick in, batches
+    stack, psum metrics flow, validation covers the odd batch count."""
+    from pcf_tpu.train import trainer
+
+    cfg = _cfg(scene_dir, total_epoches=1, data_parallel=2, BATCH_SIZE=1,
+               experiment_dir=str(tmp_path / "exp2"), eval_freq=1,
+               save_freq=1, warmup_epochs=1, level_caps_sample=3)
+    trainer.main(cfg.copy())
+    log = (tmp_path / "exp2" / "log.txt").read_text()
+    assert "Val result" in log
+
+
+def test_getdataLoadersDDP(scene_dir, monkeypatch):
+    from pcf_tpu.data import scannet
+
+    cfg = _cfg(scene_dir)
+    train_loader, val_loader = scannet.getdataLoadersDDP(cfg)
+    assert train_loader.process_count >= 1
+    assert len(list(val_loader)) >= 1
