@@ -7,6 +7,11 @@ grid: 5 levels, heads 8, resblocks [0,2,4,6,6], mid_dim 16 —
 model_architecture.py:298-318) eval forward on a packed batch of synthetic
 indoor-like scenes at 10cm-scale density; metric is valid points/sec.
 
+The configuration benched here (XLA contraction path, default MXU
+precision) is the MEASURED-best production config — see
+benchmarks/RESULTS.md for the full fused-vs-XLA sweep, train-step numbers,
+and the precision ablation that picked it.
+
 vs_baseline: ratio against REF_A100_PTS_PER_SEC — a provisional estimate of
 the PyTorch reference's A100 eval throughput on ScanNet 10cm (the repo
 publishes no number, BASELINE.md; estimate = ~25k-point scenes at ~60ms/scene

@@ -33,6 +33,7 @@ class FusedConvLinear(nn.Module):
     use_bn: bool = True
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
+    precision: Optional[object] = None  # XLA-fallback contraction precision
 
     @nn.compact
     def __call__(self, feats, nei_inds, weights, guidance=None,
@@ -47,8 +48,11 @@ class FusedConvLinear(nn.Module):
 
         # The fused kernel wins only where the [M, C*W] intermediate is fat
         # enough to dominate HBM traffic; thin shapes (decoder mid_dim_back=1,
-        # narrow outputs) run faster on the XLA path — measured on v5e.
-        use_kernel = in_dim >= 512 and self.out_dim >= 64
+        # narrow outputs) and small point counts (the pyramid's upper levels)
+        # run faster on the XLA path — measured on v5e (benchmarks/RESULTS.md:
+        # crossover ~M=20k at K=16).
+        use_kernel = (nei_inds.shape[0] >= 20480 and c_in >= 64
+                      and self.out_dim >= 64)
         interpret = _interpret_default()
         if use_kernel and guidance is not None:
             out = pcf_linear_fused(feats, nei_inds, guidance, weights,
@@ -65,7 +69,7 @@ class FusedConvLinear(nn.Module):
                 gathered = guided_contraction(gathered, guidance)
             if additional_features is not None:
                 gathered = jnp.concatenate([gathered, additional_features], -1)
-            out = pconv(gathered, weights) @ kernel + bias
+            out = pconv(gathered, weights, precision=self.precision) @ kernel + bias
         if self.use_bn:
             out = MaskedBatchNorm(self.out_dim, momentum=self.bn_momentum,
                                   axis_name=self.axis_name, name="bn")(

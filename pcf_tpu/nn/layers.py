@@ -38,6 +38,16 @@ def _dtype_of(cfg):
     return jnp.bfloat16 if cfg.get('compute_dtype') == 'bfloat16' else None
 
 
+def _precision_of(cfg):
+    """MXU precision for the pconv contraction. 'default' (bf16
+    multiplicands, f32 accumulation — the standard TPU mixed-precision
+    choice) is 22% faster end-to-end than 'highest' (measured on v5e:
+    38.9 -> 30.2 ms flagship eval); 'highest' runs 3-pass f32 emulation
+    and is what the reference-parity tests pin."""
+    return (jax.lax.Precision.HIGHEST
+            if cfg.get("matmul_precision", "default") == "highest" else None)
+
+
 class DropPath(nn.Module):
     """Stochastic depth on the residual branch (reference uses timm DropPath,
     layers.py:237-238). The packed layout has no real batch dim, so the drop
@@ -120,7 +130,8 @@ class PointConv(nn.Module):
             # PCONV_OPT path, layers.py:873-887)
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
-                axis_name=cfg.get("bn_axis_name"), name="linear")(
+                axis_name=cfg.get("bn_axis_name"),
+                precision=_precision_of(cfg), name="linear")(
                 dense_feats, nei_inds, weights,
                 additional_features=weightNetInput if cfg.USE_PE else None,
                 mask=out_mask, train=train)
@@ -129,7 +140,8 @@ class PointConv(nn.Module):
             if cfg.USE_PE:
                 gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
 
-            new_feat = pconv(gathered_feat, weights)  # [M, last_ch * C_mid]
+            new_feat = pconv(gathered_feat, weights,
+                             precision=_precision_of(cfg))  # [M, last_ch*C_mid]
             new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=cfg.get("bn_axis_name"),
                                 name="linear")(new_feat, mask=out_mask, train=train)
@@ -198,13 +210,15 @@ class PointConvStridePE(nn.Module):
         if cfg.get("USE_PALLAS_KERNEL"):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
-                axis_name=axis_name, name="linear")(
+                axis_name=axis_name, precision=_precision_of(cfg),
+                name="linear")(
                 feats_x, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
             gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
             new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
-            new_feat = pconv(new_feat, weights)  # [M, (out/4+last_ch)*C_mid]
+            new_feat = pconv(new_feat, weights,
+                             precision=_precision_of(cfg))  # [M, (out/4+last_ch)*C_mid]
 
             new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
@@ -322,12 +336,14 @@ class PCFLayer(nn.Module):
         if cfg.get("USE_PALLAS_KERNEL"):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
-                axis_name=axis_name, name="linear")(
+                axis_name=axis_name, precision=_precision_of(cfg),
+                name="linear")(
                 feats_x, nei_inds, weights, guidance=guidance_score,
                 mask=out_mask, train=train)
         else:
             gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
-            new_feat = pconv(guided_contraction(gathered_feat, guidance_score), weights)
+            new_feat = pconv(guided_contraction(gathered_feat, guidance_score),
+                             weights, precision=_precision_of(cfg))
 
             new_feat = LinearBN(self.out_channel // 2, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
@@ -408,14 +424,16 @@ class PointConvTransposePE(nn.Module):
         if cfg.get("USE_PALLAS_KERNEL"):
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
-                axis_name=axis_name, name="linear")(
+                axis_name=axis_name, precision=_precision_of(cfg),
+                name="linear")(
                 sparse_feats, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
             gathered_feat = index_points(sparse_feats, nei_inds)  # [M, K, in_ch]
             if feat_pe is not None:
                 gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
-            new_feat = pconv(gathered_feat, weights)
+            new_feat = pconv(gathered_feat, weights,
+                             precision=_precision_of(cfg))
             new_feat = LinearBN(self.out_channel, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="linear")(
                 new_feat, mask=out_mask, train=train)

@@ -68,35 +68,50 @@ def _pconv_kernel(g_ref, v_ref, lw_ref, lb_ref, out_ref):
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _pcf_kernel(g_ref, guid_ref, v_ref, lw_ref, lb_ref, out_ref):
-    g = g_ref[...].astype(jnp.float32)
-    guid = guid_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    C = g.shape[-1]
-    H = guid.shape[-1]
-    # channel c modulated by head c % H (pcf_ops.cu:58-68): lane-concat of
-    # C//H copies puts guid[..., c % H] at lane c (lane splits are not
-    # Mosaic-representable; concatenation is).
-    guid_full = jnp.concatenate([guid] * (C // H), axis=-1)  # [Mt, K, C]
-    out = _contract_and_project(g * guid_full, v,
-                                lw_ref[...].astype(jnp.float32),
-                                lb_ref[...].astype(jnp.float32))
-    out_ref[...] = out.astype(out_ref.dtype)
+def _make_pcf_kernel(n_repeat: int, interpret: bool):
+    def kernel(g_ref, guid_ref, v_ref, lw_ref, lb_ref, out_ref):
+        g = g_ref[...].astype(jnp.float32)
+        guid = guid_ref[...].astype(jnp.float32)
+        v = v_ref[...].astype(jnp.float32)
+        # channel c modulated by head c % H (pcf_ops.cu:58-68): lane-tile
+        # C//H copies of guid so lane c holds guid[..., c % H]. pltpu.repeat
+        # is one Mosaic op; an n-way jnp.concatenate materialized n
+        # lane-padded [tile, K, H->128] copies and blew the 16MB VMEM scope
+        # on chip (H=4 -> 12 copies).
+        if guid.shape[-1] == 1:
+            guid_full = guid  # H=1 (PCF_Tiny): plain lane broadcast
+        elif n_repeat > 1:
+            if interpret:
+                guid_full = jnp.concatenate([guid] * n_repeat, axis=-1)
+            else:
+                guid_full = pltpu.repeat(guid, n_repeat, axis=2)
+        else:
+            guid_full = guid
+        out = _contract_and_project(g * guid_full, v,
+                                    lw_ref[...].astype(jnp.float32),
+                                    lb_ref[...].astype(jnp.float32))
+        out_ref[...] = out.astype(out_ref.dtype)
+
+    return kernel
 
 
-def _tile_m_for(K, C, H, W, O, budget_bytes=13 * 2 ** 20):
+def _tile_m_for(K, C, H, W, O, budget_bytes=12 * 2 ** 20):
     """Points per grid step sized to the 16MB VMEM scope (v5e).
 
     Mosaic lays a [tile, K, X] block out with X padded to full 128-lane
-    registers, so guidance (H=8) and weights (W=16) windows each cost K*128
-    lanes per point, and the gathered/modulated [K, C] tensors cost
-    K*ceil(C/128)*128 each (live ~3x: input window, broadcast, product) —
-    all double-buffered by the pipeline. A fixed tile of 128 OOMs scoped
-    vmem at K>=32 (seen on chip: 21MB > 16MB limit)."""
+    registers, so the guidance (H<=8) and weights (W=16) windows each cost
+    K*128 lanes per point, the gathered [K, C] window K*ceil(C/128)*128,
+    and the guidance broadcast + modulated product another ~2 K*cp — inputs
+    double-buffered by the pipeline. A fixed tile of 128 OOMs scoped vmem
+    at K>=32 (seen on chip: 21MB > 16MB limit)."""
     lane = 128
     cp = -(-C // lane) * lane
-    per_point_floats = 2 * K * (cp * (3 if H else 1) + lane + (lane if H else 0))
-    per_point = 4 * per_point_floats + 4 * (W * cp + O)
+    per_point = 2 * K * (cp + lane + (lane if H else 0)) + 2 * K * cp * (1 if H else 0)
+    per_point = 4 * (per_point + W * cp + O)
+    if H > 1:
+        # Mosaic's stack allocation grows with the lane-repeat factor C//H
+        # (measured: C=48/H=4 at tile 128 hit 16.49MB where C=64/H=8 fit)
+        budget_bytes = int(budget_bytes * min(1.0, 8.0 / max(C // H, 8)))
     tile = int(budget_bytes // max(per_point, 1))
     # power-of-two tiles are ~2x faster than odd multiples of 8 on the MXU
     # (measured on v5e: tile 64 -> 3.35ms vs tile 56 -> 6.55ms at K=32)
@@ -125,8 +140,7 @@ def _run_fused(gathered, guidance, weights, linear_w, linear_b, *,
                              memory_space=pltpu.VMEM)]
     operands = [gathered]
     if guidance is not None:
-        in_specs.append(pl.BlockSpec((tile_m, K, guidance.shape[-1]),
-                                     lambda i: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((tile_m, K, H), lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(guidance)
     in_specs += [
@@ -137,8 +151,10 @@ def _run_fused(gathered, guidance, weights, linear_w, linear_b, *,
     ]
     operands += [weights, linear_w.reshape(C, W, O).transpose(1, 0, 2), lb2]
 
+    kernel = (_make_pcf_kernel(C // H, interpret) if guidance is not None
+              else _pconv_kernel)
     out = pl.pallas_call(
-        _pcf_kernel if guidance is not None else _pconv_kernel,
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, O), lambda i: (i, 0),
@@ -154,18 +170,20 @@ def _run_fused(gathered, guidance, weights, linear_w, linear_b, *,
     return out[:M]
 
 
-def _ref_pcf(feats, nei_inds, guidance, weights, linear_w, linear_b):
+def _ref_pcf(feats, nei_inds, guidance, weights, linear_w, linear_b,
+             precision=lax.Precision.HIGHEST):
     gathered = index_points(feats, nei_inds)
     if guidance is not None:
         gathered = guided_contraction(gathered, guidance)
-    out = pconv(gathered, weights)
-    return jnp.matmul(out, linear_w, precision=lax.Precision.HIGHEST) + linear_b
+    out = pconv(gathered, weights, precision=precision)
+    return jnp.matmul(out, linear_w, precision=precision) + linear_b
 
 
-def _ref_pconv_pe(feats, nei_inds, add, weights, linear_w, linear_b):
+def _ref_pconv_pe(feats, nei_inds, add, weights, linear_w, linear_b,
+                  precision=lax.Precision.HIGHEST):
     gathered = jnp.concatenate([index_points(feats, nei_inds), add], axis=-1)
-    out = pconv(gathered, weights)
-    return jnp.matmul(out, linear_w, precision=lax.Precision.HIGHEST) + linear_b
+    out = pconv(gathered, weights, precision=precision)
+    return jnp.matmul(out, linear_w, precision=precision) + linear_b
 
 
 # --- PCF variant: gather + guidance + contraction + linear ----------------
@@ -186,9 +204,14 @@ def _pcf_linear_fwd(feats, nei_inds, guidance, weights, linear_w, linear_b,
 
 
 def _pcf_linear_bwd(interpret, res, g):
+    # Backward = VJP of the XLA reference at DEFAULT matmul precision: the
+    # fused forward already computes bf16-multiplicand products, and HIGHEST
+    # here would lower every backward matmul to 3-6 pass f32 emulation
+    # (measured: the whole fused train step ran slower than unfused).
     feats, nei_inds, guidance, weights, linear_w, linear_b = res
     _, vjp = jax.vjp(
-        lambda f, gd, w, lw, lb: _ref_pcf(f, nei_inds, gd, w, lw, lb),
+        lambda f, gd, w, lw, lb: _ref_pcf(
+            f, nei_inds, gd, w, lw, lb, precision=None),
         feats, guidance, weights, linear_w, linear_b)
     d_feats, d_guid, d_w, d_lw, d_lb = vjp(g)
     return d_feats, None, d_guid, d_w, d_lw, d_lb
@@ -217,7 +240,8 @@ def _pconv_pe_linear_fwd(feats, nei_inds, add, weights, linear_w, linear_b,
 def _pconv_pe_linear_bwd(interpret, res, g):
     feats, nei_inds, add, weights, linear_w, linear_b = res
     _, vjp = jax.vjp(
-        lambda f, a, w, lw, lb: _ref_pconv_pe(f, nei_inds, a, w, lw, lb),
+        lambda f, a, w, lw, lb: _ref_pconv_pe(
+            f, nei_inds, a, w, lw, lb, precision=None),
         feats, add, weights, linear_w, linear_b)
     d_feats, d_add, d_w, d_lw, d_lb = vjp(g)
     return d_feats, None, d_add, d_w, d_lw, d_lb

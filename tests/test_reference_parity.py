@@ -49,6 +49,7 @@ def make_cfg(**overrides) -> Config:
     cfg = get_default_configs(Config(), num_level=num_level, base_dim=base_dim)
     cfg.update(
         drop_path_rate=0.0, dropout_rate=0.0, dropout_fc=0.0,
+        matmul_precision="highest",  # bit-closest contraction vs torch f32
         USE_CUDA_KERNEL=False, PCONV_OPT=False, USE_PALLAS_KERNEL=False,
         scan_resblocks=False,  # per-block module names must mirror torch
         USE_PE=True,
