@@ -36,6 +36,14 @@ REF_PATH = "/root/reference"
 # WeightNet wraps its MLP in a `core` submodule so nn.remat can be applied.
 _WRAPPED_WEIGHTNET_NAMES = {"weightnet", "pe_convs"}
 
+# torch nn.Sequential indices count the parameter-less ReLUs; the flax side
+# names only the parameterized blocks (reference PointTransformerLayer:
+# linear_p = Sequential(Linear_BN, ReLU, Linear), layers.py:448-452;
+# linear_w = Sequential(ReLU, Linear_BN, ReLU, Linear), :455-470).
+_RENAMES = {"linear_p_2": "linear_p_1",
+            "linear_w_1": "linear_w_0",
+            "linear_w_3": "linear_w_1"}
+
 
 def load_reference():
     """Import (layers, model_architecture, layer_utils) from /root/reference."""
@@ -104,12 +112,12 @@ def translate_key(torch_key: str):
     parents = _merge_indices(tokens[:-1])
     path = []
     for t in parents:
-        path.append(t)
+        path.append(_RENAMES.get(t, t))
         if t in _WRAPPED_WEIGHTNET_NAMES:
             path.append("core")
     owner = path[-1] if path else ""
 
-    if owner == "bn":
+    if owner == "bn" or owner.startswith("bn_"):
         if leaf == "weight":
             return "params", tuple(path) + ("scale",), False
         if leaf == "bias":

@@ -317,3 +317,36 @@ def test_getdataLoadersDDP(scene_dir, monkeypatch):
     train_loader, val_loader = scannet.getdataLoadersDDP(cfg)
     assert train_loader.process_count >= 1
     assert len(list(val_loader)) >= 1
+
+
+def test_pth_scene_loading(tmp_path):
+    """The torch-serialized .pth branch of load_scene_file: the exact tuple
+    layout the reference's prepare_data.py writes (coords, feats[color+normal],
+    labels, scene_name) must flow through the dataset to a packed batch."""
+    import torch
+
+    from pcf_tpu.data.scannet import ScanNetDataset, load_scene_file
+
+    coord, norm, feats, labels = synthetic_scene(500, extent=4.0,
+                                                 num_classes=NCLS, seed=7)
+    full_feats = np.concatenate([feats, norm], axis=1)
+    os.makedirs(tmp_path / "train", exist_ok=True)
+    for i in range(2):
+        torch.save((coord, full_feats, labels.astype(np.int64), f"scene{i}"),
+                   tmp_path / "train" / f"scene{i}.pth")
+
+    c, color, n, lab, name = load_scene_file(str(tmp_path / "train" / "scene0.pth"))
+    np.testing.assert_allclose(c, coord)
+    np.testing.assert_allclose(color, feats)
+    np.testing.assert_allclose(n, norm)
+    np.testing.assert_array_equal(lab, labels)
+    assert name == "scene0"
+
+    cfg = _cfg(tmp_path, train_data_path=str(tmp_path / "train" / "*.pth"),
+               val_data_path=str(tmp_path / "train" / "*.pth"),
+               test_data_path=str(tmp_path / "train" / "*.pth"))
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert len(item["point_list"]) == 3
+    assert item["feature_list"].shape[1] == 3

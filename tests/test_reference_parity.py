@@ -295,6 +295,38 @@ def test_pcf_layer_parity(scene, strided, attention_type):
     assert_close(out, expected, ATOL_LAYER, "PCFLayer")
 
 
+@pytest.mark.parametrize("strided", [False, True])
+def test_point_transformer_layer_parity(scene, strided):
+    """The ablation PointTransformerLayer (layers.py:419-539), including the
+    Sequential-index rename map (linear_p.2 -> linear_p_1 etc.) and the
+    standalone bn_w BatchNorm."""
+    from pcf_tpu.nn.layers import PointTransformerLayer
+
+    cfg = make_cfg()
+    torch.manual_seed(10)
+    ref = REF_LAYERS.PointTransformerLayer(32, 64, share_planes=8)
+
+    pts = scene["points"]
+    rng = np.random.default_rng(10)
+    feats = rng.normal(size=(pts[0].shape[0], 32)).astype(np.float32)
+    if strided:
+        nei, sparse = scene["nei_forward"][0], pts[1]
+    else:
+        nei, sparse = scene["nei_self"][0], None
+
+    mod = PointTransformerLayer(32, 64, cfg, share_planes=8)
+    jargs = (jnp.asarray(pts[0]), jnp.asarray(feats), jnp.asarray(nei),
+             None if sparse is None else jnp.asarray(sparse))
+    variables = _transplant_pair(ref, mod, jargs, {}, seed=10)
+
+    ref.eval()
+    with torch.no_grad():
+        expected = ref(to_torch(pts[0]), to_torch(feats), to_torch(nei),
+                       None if sparse is None else to_torch(sparse))
+    out = mod.apply(variables, *jargs)
+    assert_close(out, expected, ATOL_LAYER, "PointTransformerLayer")
+
+
 def test_pointconv_transpose_parity(scene):
     from pcf_tpu.nn.layers import PointConvTransposePE
 
