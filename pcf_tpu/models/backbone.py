@@ -23,22 +23,27 @@ from pcf_tpu.nn.layers import (
     PointConv,
     PointConvStridePE,
     PointTransformerLayer,
-    _localize,
 )
 from pcf_tpu.nn.norm import LinearBN
 from pcf_tpu.nn.resstack import ResBlockStack
-from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.gather import index_points, index_points_multi
 from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.config import as_config
 
 
-def _self_vi_features(xyz, nei_inds, norms):
-    """VI features for same-level (self-edge) blocks, computed once per stage
-    (the reference computes them in the first residual block and reuses,
-    model_architecture.py:221-241)."""
-    _, localized = _localize(xyz, nei_inds, xyz)
-    gathered_norm = index_points(norms, nei_inds)
-    return VI_coordinate_transform(localized, gathered_norm, norms)
+def _stage_geometry(xyz, nei_inds, norms, use_vi):
+    """Per-stage geometry shared by every same-level residual block: the
+    localized neighbor offsets and (with USE_VI) the VI features, in ONE
+    combined gather. The reference computes VI in the first residual block
+    and reuses it (model_architecture.py:221-241); the localized offsets are
+    equally loop-invariant, and hoisting them drops one 655k-row gather per
+    block (see ops/gather.index_points_multi for why gathers price per row)."""
+    if use_vi:
+        gx, gn = index_points_multi([xyz, norms], nei_inds)
+        localized = gx - xyz[:, None, :]
+        return localized, VI_coordinate_transform(localized, gn, norms)
+    localized = index_points(xyz, nei_inds) - xyz[:, None, :]
+    return localized, None
 
 
 class PCF_Backbone(nn.Module):
@@ -69,13 +74,15 @@ class PCF_Backbone(nn.Module):
                 name="selfpointconv")(
                 pointclouds[0], pointwise_feat, edges_self[0], norms[0],
                 dense_mask=masks[0], train=train)
+            localized0, _ = _stage_geometry(
+                pointclouds[0], edges_self[0], norms[0], use_vi=False)
             if cfg.get("scan_resblocks", True):
                 pointwise_feat = ResBlockStack(
                     PointConvStridePE, 2, cfg.base_dim, cfg,
                     (wni_dim, cfg.mid_dim[0]), name="selfpointconv_res")(
                     pointclouds[0], pointwise_feat, edges_self[0], norms[0],
                     vi_features=vi_features if cfg.USE_VI else None,
-                    mask=masks[0], train=train)
+                    localized_xyz=localized0, mask=masks[0], train=train)
             else:
                 for j in (1, 2):
                     pointwise_feat, _ = PointConvStridePE(
@@ -83,6 +90,7 @@ class PCF_Backbone(nn.Module):
                         name=f"selfpointconv_res{j}")(
                         pointclouds[0], pointwise_feat, edges_self[0], norms[0],
                         vi_features=vi_features if cfg.USE_VI else None,
+                        localized_xyz=localized0,
                         dense_mask=masks[0], train=train)
         else:
             from pcf_tpu.nn.layers import _dtype_of
@@ -130,15 +138,15 @@ class PCF_Backbone(nn.Module):
                         dense_mask=masks[i], train=train)
             elif cfg.resblocks[i] > 0:
                 block_cls = PointConvStridePE if i <= guided_level else PCFLayer
-                vi_features = (
-                    _self_vi_features(pointclouds[i], edges_self[i], norms[i])
-                    if cfg.USE_VI else None)
+                localized, vi_features = _stage_geometry(
+                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI)
                 if cfg.get("scan_resblocks", True):
                     sparse_feat = ResBlockStack(
                         block_cls, cfg.resblocks[i], out_ch, cfg, weightnet,
                         cfg.num_heads, name=f"pointconv_res_{i-1}")(
                         pointclouds[i], sparse_feat, edges_self[i], norms[i],
-                        vi_features=vi_features, mask=masks[i], train=train)
+                        vi_features=vi_features, localized_xyz=localized,
+                        mask=masks[i], train=train)
                 else:
                     for j in range(cfg.resblocks[i]):
                         if block_cls is PCFLayer:
@@ -151,8 +159,8 @@ class PCF_Backbone(nn.Module):
                                 name=f"pointconv_res_{i-1}_{j}")
                         sparse_feat, _ = block(
                             pointclouds[i], sparse_feat, edges_self[i], norms[i],
-                            vi_features=vi_features, dense_mask=masks[i],
-                            train=train)
+                            vi_features=vi_features, localized_xyz=localized,
+                            dense_mask=masks[i], train=train)
 
             feat_list.append(sparse_feat)
 

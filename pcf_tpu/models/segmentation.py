@@ -52,17 +52,18 @@ class PointConvFormer_Segmentation(nn.Module):
 
             # decoder residual blocks (reference gates on resblocks[i] but
             # counts resblocks_back[i], model_architecture.py:390-398)
-            vi_features = None
-            if cfg.resblocks[i] != 0:
+            if cfg.resblocks[i] != 0 and resblocks_back[i] > 0:
+                from pcf_tpu.models.backbone import _stage_geometry
+
+                localized, vi_features = _stage_geometry(
+                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI)
                 for j in range(resblocks_back[i]):
-                    sparse_feat, wni = PointConvStridePE(
+                    sparse_feat, _ = PointConvStridePE(
                         out_ch, out_ch, cfg, weightnet,
                         name=f"pointdeconv_res_{idx}_{j}")(
                         pointclouds[i], sparse_feat, edges_self[i], norms[i],
-                        vi_features=vi_features if cfg.USE_VI else None,
+                        vi_features=vi_features, localized_xyz=localized,
                         dense_mask=masks[i], train=train)
-                    if vi_features is None:
-                        vi_features = wni
 
         from pcf_tpu.nn.layers import _dtype_of
 

@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pcf_tpu.ops.gather import index_points
+from pcf_tpu.ops.gather import index_points, index_points_multi
 from pcf_tpu.ops.pconv import pconv, guided_contraction
 from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.nn.norm import LinearBN, UnaryBlock
@@ -71,14 +71,55 @@ def _localize(dense_xyz, nei_inds, center_xyz):
     return gathered_xyz, gathered_xyz - center_xyz[:, None, :]
 
 
-def _weightnet_input(cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm,
+def _gathered_inputs(nei_inds, dense_xyz, center_xyz, feat_tensors,
+                     localized_xyz=None, dense_xyz_norm=None,
+                     need_norm=False, combine=False):
+    """Every same-index gather of a layer, combined or separate by mode.
+
+    TPU row-gathers cost per ROW, not per byte (each row reads a whole
+    memory tile), so `combine=True` rides the geometry and all feature
+    tensors on one gather per dtype group (ops/gather.index_points_multi).
+    Measured on v5e at flagship scale this is mode-dependent: the TRAIN step
+    wins 7% (171 vs 184 ms — fewer gathers means fewer scatter-add
+    transposes in the backward), but the EVAL forward loses 38% (41 vs 30
+    ms — XLA fuses separate gathers straight into their consumers, and the
+    combined gather materializes + re-slices). Layers therefore pass
+    combine=train. `localized_xyz` may be precomputed once per stage and
+    shared across residual blocks (it only depends on geometry, like the
+    reference's cached vi_features, layers.py:346-358).
+
+    Returns (localized_xyz [M,K,3], gathered_norm or None, gathered feature
+    tensors in input order).
+    """
+    reqs = []
+    need_xyz = localized_xyz is None
+    if need_xyz:
+        reqs.append(dense_xyz)
+    if need_norm:
+        reqs.append(dense_xyz_norm)
+    reqs.extend(feat_tensors)
+    if combine:
+        got = index_points_multi(reqs, nei_inds) if reqs else []
+    else:
+        got = [index_points(t, nei_inds) for t in reqs]
+    i = 0
+    if need_xyz:
+        localized_xyz = got[i] - center_xyz[:, None, :]
+        i += 1
+    gathered_norm = None
+    if need_norm:
+        gathered_norm = got[i]
+        i += 1
+    return localized_xyz, gathered_norm, got[i:]
+
+
+def _weightnet_input(cfg, localized_xyz, gathered_norm, center_norm,
                      vi_features):
     """VI features (12-d) or raw relative coords (3-d), with per-stage caching
     (reference: layers.py:346-358)."""
     if cfg.USE_VI:
         if vi_features is not None:
             return vi_features
-        gathered_norm = index_points(dense_xyz_norm, nei_inds)
         return VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
     return localized_xyz
 
@@ -114,9 +155,12 @@ class PointConv(nn.Module):
         center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
 
-        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        localized_xyz, gathered_norm, gfeats = _gathered_inputs(
+            nei_inds, dense_xyz, center_xyz,
+            [] if use_pallas else [dense_feats],
+            dense_xyz_norm=dense_xyz_norm, need_norm=use_vi, combine=train)
         if use_vi:
-            gathered_norm = index_points(dense_xyz_norm, nei_inds)
             weightNetInput = VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
         else:
             weightNetInput = localized_xyz
@@ -125,7 +169,7 @@ class PointConv(nn.Module):
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=cfg.get("bn_axis_name"),
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        if cfg.get("USE_PALLAS_KERNEL"):
+        if use_pallas:
             # fused gather+PE+contraction+linear (Pallas; the reference's
             # PCONV_OPT path, layers.py:873-887)
             new_feat = FusedConvLinear(
@@ -136,7 +180,7 @@ class PointConv(nn.Module):
                 additional_features=weightNetInput if cfg.USE_PE else None,
                 mask=out_mask, train=train)
         else:
-            gathered_feat = index_points(dense_feats, nei_inds)  # [M, K, Cin]
+            gathered_feat = gfeats[0]  # [M, K, Cin]
             if cfg.USE_PE:
                 gathered_feat = jnp.concatenate([gathered_feat, weightNetInput], axis=-1)
 
@@ -171,6 +215,7 @@ class PointConvStridePE(nn.Module):
         sparse_xyz=None,
         sparse_xyz_norm=None,
         vi_features=None,
+        localized_xyz=None,
         dense_mask=None,
         sparse_mask=None,
         train: bool = False,
@@ -179,10 +224,12 @@ class PointConvStridePE(nn.Module):
         dtype = _dtype_of(cfg)
         if dtype is not None:
             dense_feats = dense_feats.astype(dtype)
-        center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
-        center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
-        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+        strided = sparse_xyz is not None
+        center_xyz = sparse_xyz if strided else dense_xyz
+        center_norm = sparse_xyz_norm if strided else dense_xyz_norm
+        out_mask = sparse_mask if strided else dense_mask
         axis_name = cfg.get("bn_axis_name")
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
 
         # First downscaling mlp (bottleneck)
         if self.in_channel != self.out_channel // 4:
@@ -192,9 +239,14 @@ class PointConvStridePE(nn.Module):
         else:
             feats_x = dense_feats
 
-        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        feat_reqs = ([] if use_pallas else [feats_x]) + (
+            [dense_feats] if strided else [])  # shortcut max-pool source
+        localized_xyz, gathered_norm, gfeats = _gathered_inputs(
+            nei_inds, dense_xyz, center_xyz, feat_reqs,
+            localized_xyz=localized_xyz, dense_xyz_norm=dense_xyz_norm,
+            need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
-            cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm, vi_features)
+            cfg, localized_xyz, gathered_norm, center_norm, vi_features)
 
         # positional encoding branch (layers.py:575-577,669)
         last_ch = min(self.out_channel // 4, 32)
@@ -207,7 +259,7 @@ class PointConvStridePE(nn.Module):
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        if cfg.get("USE_PALLAS_KERNEL"):
+        if use_pallas:
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
@@ -215,7 +267,7 @@ class PointConvStridePE(nn.Module):
                 feats_x, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
-            gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+            gathered_feat = gfeats[0]  # [M, K, out/4]
             new_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
             new_feat = pconv(new_feat, weights,
                              precision=_precision_of(cfg))  # [M, (out/4+last_ch)*C_mid]
@@ -231,8 +283,8 @@ class PointConvStridePE(nn.Module):
             new_feat, mask=out_mask, train=train)
 
         # shortcut: max-pooled original features when strided (layers.py:728-737)
-        if sparse_xyz is not None:
-            sparse_feats = jnp.max(index_points(dense_feats, nei_inds), axis=1)
+        if strided:
+            sparse_feats = jnp.max(gfeats[-1], axis=1)
         else:
             sparse_feats = dense_feats
         if self.in_channel != self.out_channel:
@@ -268,6 +320,7 @@ class PCFLayer(nn.Module):
         sparse_xyz=None,
         sparse_xyz_norm=None,
         vi_features=None,
+        localized_xyz=None,
         dense_mask=None,
         sparse_mask=None,
         train: bool = False,
@@ -276,11 +329,12 @@ class PCFLayer(nn.Module):
         dtype = _dtype_of(cfg)
         if dtype is not None:
             dense_feats = dense_feats.astype(dtype)
-        center_xyz = sparse_xyz if sparse_xyz is not None else dense_xyz
-        center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
-        out_mask = sparse_mask if sparse_xyz is not None else dense_mask
+        strided = sparse_xyz is not None
+        center_xyz = sparse_xyz if strided else dense_xyz
+        center_norm = sparse_xyz_norm if strided else dense_xyz_norm
+        out_mask = sparse_mask if strided else dense_mask
         axis_name = cfg.get("bn_axis_name")
-        K = nei_inds.shape[-1]
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
 
         # First downscaling mlp
         if self.in_channel != self.out_channel // 4:
@@ -290,9 +344,19 @@ class PCFLayer(nn.Module):
         else:
             feats_x = dense_feats
 
-        _, localized_xyz = _localize(dense_xyz, nei_inds, center_xyz)
+        # guidance features at low dim, gathered together with everything else
+        guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, dtype=dtype, no_relu=True,
+                                axis_name=axis_name, name="guidance_unary")(
+            feats_x, mask=dense_mask, train=train)
+
+        feat_reqs = [guidance_x] + ([] if use_pallas else [feats_x]) + (
+            [dense_feats] if strided else [])
+        localized_xyz, gathered_norm, gfeats = _gathered_inputs(
+            nei_inds, dense_xyz, center_xyz, feat_reqs,
+            localized_xyz=localized_xyz, dense_xyz_norm=dense_xyz_norm,
+            need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
-            cfg, localized_xyz, dense_xyz_norm, nei_inds, center_norm, vi_features)
+            cfg, localized_xyz, gathered_norm, center_norm, vi_features)
 
         # lift the 12-d VI coords to the guidance feature length (layers.py:361-362)
         feat_pe = LinearBN(self.guidance_feat_len, use_bn=cfg.BATCH_NORM, dtype=dtype,
@@ -300,11 +364,7 @@ class PCFLayer(nn.Module):
             weightNetInput, mask=out_mask, train=train)
         feat_pe = nn.relu(feat_pe)
 
-        # guidance features: bottlenecked feats gathered at low dim + PE
-        guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, dtype=dtype, no_relu=True,
-                                axis_name=axis_name, name="guidance_unary")(
-            feats_x, mask=dense_mask, train=train)
-        gathered_feat2 = index_points(guidance_x, nei_inds)  # [M, K, gfl]
+        gathered_feat2 = gfeats[0]  # [M, K, gfl]
         guidance_feature = jnp.concatenate([gathered_feat2, feat_pe], axis=-1)
 
         guidance_query = guidance_feature
@@ -333,7 +393,7 @@ class PCFLayer(nn.Module):
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
         # HOT: gather + guidance modulation + K-contraction (layers.py:386-392)
-        if cfg.get("USE_PALLAS_KERNEL"):
+        if use_pallas:
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
@@ -341,7 +401,7 @@ class PCFLayer(nn.Module):
                 feats_x, nei_inds, weights, guidance=guidance_score,
                 mask=out_mask, train=train)
         else:
-            gathered_feat = index_points(feats_x, nei_inds)  # [M, K, out/4]
+            gathered_feat = gfeats[1]  # [M, K, out/4]
             new_feat = pconv(guided_contraction(gathered_feat, guidance_score),
                              weights, precision=_precision_of(cfg))
 
@@ -355,8 +415,8 @@ class PCFLayer(nn.Module):
                               axis_name=axis_name, name="unary2")(
             new_feat, mask=out_mask, train=train)
 
-        if sparse_xyz is not None:
-            sparse_feats = jnp.max(index_points(dense_feats, nei_inds), axis=1)
+        if strided:
+            sparse_feats = jnp.max(gfeats[-1], axis=1)
         else:
             sparse_feats = dense_feats
         if self.in_channel != self.out_channel:
@@ -404,10 +464,15 @@ class PointConvTransposePE(nn.Module):
                 dense_feats = dense_feats.astype(dtype)
         axis_name = cfg.get("bn_axis_name")
         out_mask = dense_mask
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
 
-        _, localized_xyz = _localize(sparse_xyz, nei_inds, dense_xyz)
+        localized_xyz, gathered_norm, gfeats = _gathered_inputs(
+            nei_inds, sparse_xyz, dense_xyz,
+            [] if use_pallas else [sparse_feats],
+            dense_xyz_norm=sparse_xyz_norm,
+            need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
-            cfg, localized_xyz, sparse_xyz_norm, nei_inds, dense_xyz_norm, vi_features)
+            cfg, localized_xyz, gathered_norm, dense_xyz_norm, vi_features)
 
         feat_pe = None
         if cfg.USE_PE:
@@ -421,7 +486,7 @@ class PointConvTransposePE(nn.Module):
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
 
-        if cfg.get("USE_PALLAS_KERNEL"):
+        if use_pallas:
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
@@ -429,7 +494,7 @@ class PointConvTransposePE(nn.Module):
                 sparse_feats, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
-            gathered_feat = index_points(sparse_feats, nei_inds)  # [M, K, in_ch]
+            gathered_feat = gfeats[0]  # [M, K, in_ch]
             if feat_pe is not None:
                 gathered_feat = jnp.concatenate([gathered_feat, feat_pe], axis=-1)
             new_feat = pconv(gathered_feat, weights,

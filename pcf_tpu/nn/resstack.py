@@ -29,7 +29,8 @@ class _Body(nn.Module):
     train: bool
 
     @nn.compact
-    def __call__(self, carry, xyz, nei_inds, norms, vi_features, mask):
+    def __call__(self, carry, xyz, nei_inds, norms, vi_features,
+                 localized_xyz, mask):
         if self.block_cls.__name__ == "PCFLayer":
             block = self.block_cls(self.channels, self.channels, self.cfg,
                                    self.weightnet, self.num_heads, name="block")
@@ -37,8 +38,8 @@ class _Body(nn.Module):
             block = self.block_cls(self.channels, self.channels, self.cfg,
                                    self.weightnet, name="block")
         out, _wni = block(xyz, carry, nei_inds, norms,
-                          vi_features=vi_features, dense_mask=mask,
-                          train=self.train)
+                          vi_features=vi_features, localized_xyz=localized_xyz,
+                          dense_mask=mask, train=self.train)
         return out, None
 
 
@@ -54,7 +55,7 @@ class ResBlockStack(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, feats, nei_inds, norms, vi_features=None,
-                 mask=None, train: bool = False):
+                 localized_xyz=None, mask=None, train: bool = False):
         if self.n_blocks == 0:
             return feats
 
@@ -62,11 +63,11 @@ class ResBlockStack(nn.Module):
             _Body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 5,
+            in_axes=(nn.broadcast,) * 6,
             length=self.n_blocks,
         )
         out, _ = ScanBody(
             self.block_cls, self.channels, self.cfg, tuple(self.weightnet),
             self.num_heads, train, name="blocks",
-        )(feats, xyz, nei_inds, norms, vi_features, mask)
+        )(feats, xyz, nei_inds, norms, vi_features, localized_xyz, mask)
         return out

