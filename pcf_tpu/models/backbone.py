@@ -31,18 +31,25 @@ from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.config import as_config
 
 
-def _stage_geometry(xyz, nei_inds, norms, use_vi):
+def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
     """Per-stage geometry shared by every same-level residual block: the
     localized neighbor offsets and (with USE_VI) the VI features, in ONE
     combined gather. The reference computes VI in the first residual block
     and reuses it (model_architecture.py:221-241); the localized offsets are
     equally loop-invariant, and hoisting them drops one 655k-row gather per
-    block (see ops/gather.index_points_multi for why gathers price per row)."""
+    block (see ops/gather.index_points_multi for why gathers price per row).
+
+    Under spatial sharding (cfg.spatial_axis) xyz/norms arrive as row shards;
+    gather sources are all_gathered while centers stay sharded."""
+    from pcf_tpu.nn.layers import _spatial_full
+
+    src_xyz, src_norms = (xyz, norms) if cfg is None else _spatial_full(
+        cfg, xyz, norms)
     if use_vi:
-        gx, gn = index_points_multi([xyz, norms], nei_inds)
+        gx, gn = index_points_multi([src_xyz, src_norms], nei_inds)
         localized = gx - xyz[:, None, :]
         return localized, VI_coordinate_transform(localized, gn, norms)
-    localized = index_points(xyz, nei_inds) - xyz[:, None, :]
+    localized = index_points(src_xyz, nei_inds) - xyz[:, None, :]
     return localized, None
 
 
@@ -75,7 +82,7 @@ class PCF_Backbone(nn.Module):
                 pointclouds[0], pointwise_feat, edges_self[0], norms[0],
                 dense_mask=masks[0], train=train)
             localized0, _ = _stage_geometry(
-                pointclouds[0], edges_self[0], norms[0], use_vi=False)
+                pointclouds[0], edges_self[0], norms[0], use_vi=False, cfg=cfg)
             if cfg.get("scan_resblocks", True):
                 pointwise_feat = ResBlockStack(
                     PointConvStridePE, 2, cfg.base_dim, cfg,
@@ -139,7 +146,8 @@ class PCF_Backbone(nn.Module):
             elif cfg.resblocks[i] > 0:
                 block_cls = PointConvStridePE if i <= guided_level else PCFLayer
                 localized, vi_features = _stage_geometry(
-                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI)
+                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
+                    cfg=cfg)
                 if cfg.get("scan_resblocks", True):
                     sparse_feat = ResBlockStack(
                         block_cls, cfg.resblocks[i], out_ch, cfg, weightnet,

@@ -56,7 +56,8 @@ class PointConvFormer_Segmentation(nn.Module):
                 from pcf_tpu.models.backbone import _stage_geometry
 
                 localized, vi_features = _stage_geometry(
-                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI)
+                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
+                    cfg=cfg)
                 for j in range(resblocks_back[i]):
                     sparse_feat, _ = PointConvStridePE(
                         out_ch, out_ch, cfg, weightnet,

@@ -65,6 +65,20 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+
+def _spatial_full(cfg, *tensors):
+    """Under spatial (point-dim) sharding, gather-SOURCE tensors must be the
+    full per-level arrays while row-aligned tensors (centers, shortcuts,
+    outputs) stay sharded. cfg.spatial_axis is set only inside the spatial
+    shard_map (pcf_tpu/parallel/spatial.py); one all_gather per source rides
+    the ICI and the K-wide gathered tensors stay sharded."""
+    ax = cfg.get("spatial_axis")
+    if not ax:
+        return tensors if len(tensors) > 1 else tensors[0]
+    out = tuple(None if t is None else jax.lax.all_gather(t, ax, axis=0, tiled=True)
+                for t in tensors)
+    return out if len(out) > 1 else out[0]
+
 def _localize(dense_xyz, nei_inds, center_xyz):
     """gathered neighbor coords minus the center: [M, K, 3]."""
     gathered_xyz = index_points(dense_xyz, nei_inds)
@@ -156,10 +170,12 @@ class PointConv(nn.Module):
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
 
         use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        src_xyz, src_norm, src_feats = _spatial_full(
+            cfg, dense_xyz, dense_xyz_norm, dense_feats)
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
-            nei_inds, dense_xyz, center_xyz,
-            [] if use_pallas else [dense_feats],
-            dense_xyz_norm=dense_xyz_norm, need_norm=use_vi, combine=train)
+            nei_inds, src_xyz, center_xyz,
+            [] if use_pallas else [src_feats],
+            dense_xyz_norm=src_norm, need_norm=use_vi, combine=train)
         if use_vi:
             weightNetInput = VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
         else:
@@ -176,7 +192,7 @@ class PointConv(nn.Module):
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=cfg.get("bn_axis_name"),
                 precision=_precision_of(cfg), name="linear")(
-                dense_feats, nei_inds, weights,
+                src_feats, nei_inds, weights,
                 additional_features=weightNetInput if cfg.USE_PE else None,
                 mask=out_mask, train=train)
         else:
@@ -239,11 +255,13 @@ class PointConvStridePE(nn.Module):
         else:
             feats_x = dense_feats
 
-        feat_reqs = ([] if use_pallas else [feats_x]) + (
-            [dense_feats] if strided else [])  # shortcut max-pool source
+        src_xyz, src_norm, src_feats_x, src_dense = _spatial_full(
+            cfg, dense_xyz, dense_xyz_norm, feats_x, dense_feats)
+        feat_reqs = ([] if use_pallas else [src_feats_x]) + (
+            [src_dense] if strided else [])  # shortcut max-pool source
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
-            nei_inds, dense_xyz, center_xyz, feat_reqs,
-            localized_xyz=localized_xyz, dense_xyz_norm=dense_xyz_norm,
+            nei_inds, src_xyz, center_xyz, feat_reqs,
+            localized_xyz=localized_xyz, dense_xyz_norm=src_norm,
             need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
@@ -264,7 +282,7 @@ class PointConvStridePE(nn.Module):
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
                 name="linear")(
-                feats_x, nei_inds, weights, additional_features=feat_pe,
+                src_feats_x, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
             gathered_feat = gfeats[0]  # [M, K, out/4]
@@ -349,11 +367,13 @@ class PCFLayer(nn.Module):
                                 axis_name=axis_name, name="guidance_unary")(
             feats_x, mask=dense_mask, train=train)
 
-        feat_reqs = [guidance_x] + ([] if use_pallas else [feats_x]) + (
-            [dense_feats] if strided else [])
+        src_xyz, src_norm, src_feats_x, src_guid, src_dense = _spatial_full(
+            cfg, dense_xyz, dense_xyz_norm, feats_x, guidance_x, dense_feats)
+        feat_reqs = [src_guid] + ([] if use_pallas else [src_feats_x]) + (
+            [src_dense] if strided else [])
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
-            nei_inds, dense_xyz, center_xyz, feat_reqs,
-            localized_xyz=localized_xyz, dense_xyz_norm=dense_xyz_norm,
+            nei_inds, src_xyz, center_xyz, feat_reqs,
+            localized_xyz=localized_xyz, dense_xyz_norm=src_norm,
             need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
@@ -398,7 +418,7 @@ class PCFLayer(nn.Module):
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
                 name="linear")(
-                feats_x, nei_inds, weights, guidance=guidance_score,
+                src_feats_x, nei_inds, weights, guidance=guidance_score,
                 mask=out_mask, train=train)
         else:
             gathered_feat = gfeats[1]  # [M, K, out/4]
@@ -466,10 +486,12 @@ class PointConvTransposePE(nn.Module):
         out_mask = dense_mask
         use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
 
+        src_xyz, src_norm, src_feats = _spatial_full(
+            cfg, sparse_xyz, sparse_xyz_norm, sparse_feats)
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
-            nei_inds, sparse_xyz, dense_xyz,
-            [] if use_pallas else [sparse_feats],
-            dense_xyz_norm=sparse_xyz_norm,
+            nei_inds, src_xyz, dense_xyz,
+            [] if use_pallas else [src_feats],
+            dense_xyz_norm=src_norm,
             need_norm=cfg.USE_VI and vi_features is None, combine=train)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, dense_xyz_norm, vi_features)
@@ -491,7 +513,7 @@ class PointConvTransposePE(nn.Module):
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
                 name="linear")(
-                sparse_feats, nei_inds, weights, additional_features=feat_pe,
+                src_feats, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
             gathered_feat = gfeats[0]  # [M, K, in_ch]

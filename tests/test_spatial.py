@@ -1,0 +1,67 @@
+"""Spatial (point-dim) sharding: giant-scene eval across the mesh.
+
+A beyond-parity TPU extension (SURVEY.md §5 "long-input handling"): the
+sharded forward must produce the same logits as the single-device forward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcf_tpu.config import Config, get_default_configs, get_default_training_cfgs
+from pcf_tpu.core import pack_scenes
+from pcf_tpu.data import synthetic_scene
+from pcf_tpu.data.pyramid import scene_to_item
+from pcf_tpu.models import PointConvFormer_Segmentation
+from pcf_tpu.parallel import make_mesh, spatial_eval_forward
+
+GRID = [0.3, 0.6, 1.2]
+
+
+def _setup(**overrides):
+    cfg = get_default_configs(Config(), num_level=3, base_dim=16)
+    cfg = get_default_training_cfgs(cfg)
+    cfg.update(guided_level=0, num_heads=4, resblocks=[0, 2, 1],
+               mid_dim=[4, 4, 4], grid_size=GRID, num_classes=10,
+               resblocks_back=[1, 0, 0], mid_dim_back=4, USE_PE=True)
+    cfg.update(overrides)
+    coord, norm, feats, labels = synthetic_scene(1200, extent=6.0, seed=4)
+    item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
+                         rng=np.random.default_rng(0))
+    batch = pack_scenes([item], level_caps=[2048, 1024, 512])
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    return cfg, model, variables, batch
+
+
+@pytest.mark.parametrize("overrides", [
+    {},                                  # PCF layers + decoder res blocks
+    {"guided_level": 99},                # all PointConvStridePE
+    {"use_level_1": False},              # selfmlp path
+])
+def test_spatial_eval_matches_single_device(overrides):
+    cfg, model, variables, batch = _setup(**overrides)
+    expected = model.apply(
+        variables, batch.feats, list(batch.points), list(batch.edges_self),
+        list(batch.edges_forward), list(batch.edges_propagate),
+        list(batch.norms), masks=list(batch.masks), train=False)
+
+    mesh = make_mesh(8)
+    got = spatial_eval_forward(cfg, variables, batch, mesh)
+    assert got.shape == expected.shape
+    m = np.asarray(batch.masks[0])
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(expected)[m],
+                               atol=2e-5)
+
+
+def test_spatial_rejects_indivisible_caps():
+    cfg, model, variables, batch = _setup()
+    mesh = make_mesh(8)
+    bad = batch.replace(points=(batch.points[0][:1500],) + batch.points[1:])
+    with pytest.raises(AssertionError, match="not divisible"):
+        spatial_eval_forward(cfg, variables, bad, mesh)
