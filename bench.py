@@ -39,28 +39,36 @@ def main():
 
     cfg, batch = _flagship(level0_points=20000, bucket=4096, n_scenes=2)
     model = PointConvFormer_Segmentation(cfg)
-    args = (batch.feats, list(batch.points), list(batch.edges_self),
-            list(batch.edges_forward), list(batch.edges_propagate),
-            list(batch.norms))
+
+    # The packed batch — geometry included — is an ARGUMENT of the timed
+    # function: closing over points/edges lets XLA constant-fold the
+    # geometry gathers + VI transform, overstating throughput ~1.5x
+    # (29 vs 45 ms measured); production eval sees new geometry per batch.
+    def apply(v, b, train, **kw):
+        return model.apply(v, b.feats, list(b.points), list(b.edges_self),
+                           list(b.edges_forward), list(b.edges_propagate),
+                           list(b.norms), masks=list(b.masks), train=train,
+                           **kw)
+
     vs = jax.jit(
-        lambda k, f: model.init(k, f, *args[1:], masks=list(batch.masks),
-                                train=False)
-    )(jax.random.PRNGKey(0), batch.feats)
+        lambda k, b: model.init(
+            k, b.feats, list(b.points), list(b.edges_self),
+            list(b.edges_forward), list(b.edges_propagate), list(b.norms),
+            masks=list(b.masks), train=False)
+    )(jax.random.PRNGKey(0), batch)
     # calibrate BN running stats with one train-mode pass: freshly initialized
     # running stats (mean 0 / var 1) leave eval activations unnormalized and
     # overflowing — same as torch BN at init
     _, upd = jax.jit(
-        lambda v, f: model.apply(v, f, *args[1:], masks=list(batch.masks),
-                                 train=True, mutable=["batch_stats"],
-                                 rngs={"dropout": jax.random.PRNGKey(1)})
-    )(vs, batch.feats)
+        lambda v, b: apply(v, b, True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    )(vs, batch)
     vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
 
     from pcf_tpu.utils.timing import time_fn
 
-    fwd = jax.jit(lambda v, f: model.apply(v, f, *args[1:],
-                                           masks=list(batch.masks), train=False))
-    dt = time_fn(fwd, vs, batch.feats, iters=10)
+    fwd = jax.jit(lambda v, b: apply(v, b, False))
+    dt = time_fn(fwd, vs, batch, iters=10)
 
     valid_points = int(batch.masks[0].sum())
     pts_per_sec = valid_points / dt

@@ -87,20 +87,19 @@ def _localize(dense_xyz, nei_inds, center_xyz):
 
 def _gathered_inputs(nei_inds, dense_xyz, center_xyz, feat_tensors,
                      localized_xyz=None, dense_xyz_norm=None,
-                     need_norm=False, combine=False):
-    """Every same-index gather of a layer, combined or separate by mode.
+                     need_norm=False, combine=True):
+    """Every same-index gather of a layer in as few passes as possible.
 
     TPU row-gathers cost per ROW, not per byte (each row reads a whole
-    memory tile), so `combine=True` rides the geometry and all feature
-    tensors on one gather per dtype group (ops/gather.index_points_multi).
-    Measured on v5e at flagship scale this is mode-dependent: the TRAIN step
-    wins 7% (171 vs 184 ms — fewer gathers means fewer scatter-add
-    transposes in the backward), but the EVAL forward loses 38% (41 vs 30
-    ms — XLA fuses separate gathers straight into their consumers, and the
-    combined gather materializes + re-slices). Layers therefore pass
-    combine=train. `localized_xyz` may be precomputed once per stage and
-    shared across residual blocks (it only depends on geometry, like the
-    reference's cached vi_features, layers.py:346-358).
+    memory tile), so the geometry and all feature tensors ride one combined
+    gather per dtype group (ops/gather.index_points_multi). Measured on v5e
+    at flagship scale with runtime geometry: train step 171 vs 184 ms,
+    eval 44.9 vs 45.8 ms. (An earlier eval measurement that favored
+    separate gathers was an artifact of benchmarking with the geometry
+    closed over as jit constants — XLA folded those gathers entirely.)
+    `localized_xyz` may be precomputed once per stage and shared across
+    residual blocks (it only depends on geometry, like the reference's
+    cached vi_features, layers.py:346-358).
 
     Returns (localized_xyz [M,K,3], gathered_norm or None, gathered feature
     tensors in input order).
@@ -175,7 +174,7 @@ class PointConv(nn.Module):
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
             nei_inds, src_xyz, center_xyz,
             [] if use_pallas else [src_feats],
-            dense_xyz_norm=src_norm, need_norm=use_vi, combine=train)
+            dense_xyz_norm=src_norm, need_norm=use_vi)
         if use_vi:
             weightNetInput = VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
         else:
@@ -262,7 +261,7 @@ class PointConvStridePE(nn.Module):
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
             nei_inds, src_xyz, center_xyz, feat_reqs,
             localized_xyz=localized_xyz, dense_xyz_norm=src_norm,
-            need_norm=cfg.USE_VI and vi_features is None, combine=train)
+            need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
 
@@ -374,7 +373,7 @@ class PCFLayer(nn.Module):
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
             nei_inds, src_xyz, center_xyz, feat_reqs,
             localized_xyz=localized_xyz, dense_xyz_norm=src_norm,
-            need_norm=cfg.USE_VI and vi_features is None, combine=train)
+            need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
 
@@ -492,7 +491,7 @@ class PointConvTransposePE(nn.Module):
             nei_inds, src_xyz, dense_xyz,
             [] if use_pallas else [src_feats],
             dense_xyz_norm=src_norm,
-            need_norm=cfg.USE_VI and vi_features is None, combine=train)
+            need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, dense_xyz_norm, vi_features)
 
