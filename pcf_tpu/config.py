@@ -146,14 +146,27 @@ def get_default_training_cfgs(cfg: Config) -> Config:
     return cfg
 
 
-def load_config(path: str) -> Config:
+def load_config(path: str, overrides=None) -> Config:
     """Load a YAML config and fill model+training defaults.
 
     Mirrors get_parser() in the reference trainer (train_ScanNet_DDP_WarmUP.py:79-104).
+    `overrides` is an optional list of "key=value" strings (values parsed as
+    YAML) applied after the defaults — the CLI surface for one-off ablations,
+    e.g. --set compute_dtype=bfloat16.
     """
     with open(path, "r") as f:
         cfg = Config.from_dict(yaml.safe_load(f))
     cfg = get_default_configs(cfg, cfg.get("num_level", 5), cfg.get("base_dim", 64))
     cfg = get_default_training_cfgs(cfg)
     cfg.config = path
+    return apply_overrides(cfg, overrides)
+
+
+def apply_overrides(cfg: Config, overrides) -> Config:
+    """Apply "key=value" strings onto cfg (value parsed with yaml.safe_load)."""
+    for kv in overrides or []:
+        key, _, raw = kv.partition("=")
+        if not _:
+            raise ValueError(f"override {kv!r} is not of the form key=value")
+        cfg[key.strip()] = yaml.safe_load(raw)
     return cfg

@@ -126,5 +126,7 @@ if __name__ == "__main__":
     p.add_argument("--config", required=True)
     p.add_argument("--pretrain_path", default=None)
     p.add_argument("--split", default="validation")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="config override (repeatable)")
     a = p.parse_args()
-    evaluate(load_config(a.config), a.pretrain_path, a.split)
+    evaluate(load_config(a.config, a.overrides), a.pretrain_path, a.split)

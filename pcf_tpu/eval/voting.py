@@ -175,6 +175,8 @@ if __name__ == "__main__":
     p.add_argument("--split", default="validation")
     p.add_argument("--vote_num", type=int, default=8)
     p.add_argument("--init_deg", type=float, default=0.0)
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="KEY=VALUE", help="config override (repeatable)")
     a = p.parse_args()
-    evaluate_voting(load_config(a.config), a.pretrain_path, a.split,
+    evaluate_voting(load_config(a.config, a.overrides), a.pretrain_path, a.split,
                     a.vote_num, a.init_deg)

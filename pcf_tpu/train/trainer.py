@@ -255,5 +255,7 @@ def main(cfg):
 if __name__ == "__main__":
     parser = argparse.ArgumentParser("pcf_tpu ScanNet training")
     parser.add_argument("--config", required=True)
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="KEY=VALUE", help="config override (repeatable)")
     args = parser.parse_args()
-    main(load_config(args.config))
+    main(load_config(args.config, args.overrides))
