@@ -8,9 +8,11 @@ model_architecture.py:298-318) eval forward on a packed batch of synthetic
 indoor-like scenes at 10cm-scale density; metric is valid points/sec.
 
 The configuration benched here (XLA contraction path, default MXU
-precision) is the MEASURED-best production config — see
-benchmarks/RESULTS.md for the full fused-vs-XLA sweep, train-step numbers,
-and the precision ablation that picked it.
+precision, compute_dtype=bfloat16) is the MEASURED-best production config —
+see benchmarks/RESULTS.md for the fused-vs-XLA sweep, the scan-vs-unroll and
+dtype ablations, and experiments/synth_demo/EVAL.md for the accuracy
+evidence behind bf16 (trained-model mIoU identical to f32 to 4 decimals,
+99.99% per-point argmax agreement).
 
 vs_baseline: ratio against REF_A100_PTS_PER_SEC — a provisional estimate of
 the PyTorch reference's A100 eval throughput on ScanNet 10cm (the repo
@@ -38,6 +40,7 @@ def main():
     from pcf_tpu.models import PointConvFormer_Segmentation
 
     cfg, batch = _flagship(level0_points=20000, bucket=4096, n_scenes=2)
+    cfg.compute_dtype = "bfloat16"  # measured-best; accuracy evidence above
     model = PointConvFormer_Segmentation(cfg)
 
     # The packed batch — geometry included — is an ARGUMENT of the timed

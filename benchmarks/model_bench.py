@@ -33,7 +33,8 @@ def _flops_of(compiled) -> float:
         return 0.0
 
 
-def bench_config(use_pallas: bool, level0_points: int, n_scenes: int):
+def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
+                 compute_dtype: str = "float32", scan_resblocks: bool = True):
     import jax
 
     from __graft_entry__ import _flagship
@@ -45,6 +46,8 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int):
     cfg, batch = _flagship(level0_points=level0_points, bucket=4096,
                            n_scenes=n_scenes)
     cfg.USE_PALLAS_KERNEL = use_pallas
+    cfg.compute_dtype = compute_dtype
+    cfg.scan_resblocks = scan_resblocks
     model = PointConvFormer_Segmentation(cfg)
 
     # The batch (geometry included) is an ARGUMENT: closed-over points/edges
@@ -93,6 +96,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int):
     t_train = time_fn(run_step, state, batch, rng, iters=10, overhead=ov)
     return {
         "use_pallas": use_pallas,
+        "compute_dtype": compute_dtype,
         "valid_points": valid,
         "eval_ms": t_eval * 1e3,
         "eval_pts_per_sec": valid / t_eval,
@@ -107,6 +111,15 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--points", type=int, default=20000)
     parser.add_argument("--scenes", type=int, default=2)
+    parser.add_argument("--dtype", default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="compute_dtype for activations (bf16 halves "
+                             "gather HBM traffic on this gather-bound model)")
+    parser.add_argument("--pallas", default="both",
+                        choices=["both", "on", "off"])
+    parser.add_argument("--unroll", action="store_true",
+                        help="unroll residual stacks instead of nn.scan "
+                             "(faster steps, slower compile)")
     args = parser.parse_args()
 
     import jax
@@ -118,11 +131,15 @@ def main():
     peak = PEAK_TFLOPS.get(kind)
     print(f"device: {kind} (bf16 peak {peak} TFLOP/s)" if peak else
           f"device: {kind}")
-    rows = [bench_config(up, args.points, args.scenes) for up in (False, True)]
+    variants = {"both": (False, True), "on": (True,), "off": (False,)}
+    rows = [bench_config(up, args.points, args.scenes, args.dtype,
+                         scan_resblocks=not args.unroll)
+            for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
         mfu_t = f" ({r['train_tflops']/peak*100:.1f}% MFU)" if peak else ""
         name = "Pallas-fused" if r["use_pallas"] else "XLA-reference"
+        name += " bf16" if r["compute_dtype"] == "bfloat16" else ""
         print(f"{name:>14}: eval {r['eval_ms']:7.2f} ms "
               f"{r['eval_pts_per_sec']/1e6:6.3f} Mpts/s "
               f"{r['eval_tflops']:5.2f} TFLOP/s{mfu_e} | "
