@@ -41,16 +41,25 @@ def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
 
     Under spatial sharding (cfg.spatial_axis) xyz/norms arrive as row shards;
     gather sources are all_gathered while centers stay sharded."""
-    from pcf_tpu.nn.layers import _spatial_full
+    from pcf_tpu.nn.layers import _dtype_of, _spatial_full
 
     src_xyz, src_norms = (xyz, norms) if cfg is None else _spatial_full(
         cfg, xyz, norms)
+    # Cast the loop-invariant geometry features to the compute dtype HERE so
+    # the residual scan broadcasts bf16 operands: casting inside the scan
+    # body repeated a [M,K,12] f32->bf16 convert + layout copy per iteration
+    # (profiled ~1 ms/block at flagship scale). The blocks' own astype then
+    # no-ops. Geometry math itself (localization, VI) stays f32.
+    dtype = None if cfg is None else _dtype_of(cfg)
     if use_vi:
         gx, gn = index_points_multi([src_xyz, src_norms], nei_inds)
         localized = gx - xyz[:, None, :]
-        return localized, VI_coordinate_transform(localized, gn, norms)
+        vi = VI_coordinate_transform(localized, gn, norms)
+        if dtype is not None:
+            localized, vi = localized.astype(dtype), vi.astype(dtype)
+        return localized, vi
     localized = index_points(src_xyz, nei_inds) - xyz[:, None, :]
-    return localized, None
+    return (localized if dtype is None else localized.astype(dtype)), None
 
 
 class PCF_Backbone(nn.Module):

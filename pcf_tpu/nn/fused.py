@@ -34,6 +34,7 @@ class FusedConvLinear(nn.Module):
     bn_momentum: float = 0.1
     axis_name: Optional[str] = None
     precision: Optional[object] = None  # XLA-fallback contraction precision
+    dtype: Optional[jnp.dtype] = None   # computation dtype (bf16 on TPU)
 
     @nn.compact
     def __call__(self, feats, nei_inds, weights, guidance=None,
@@ -69,7 +70,13 @@ class FusedConvLinear(nn.Module):
                 gathered = guided_contraction(gathered, guidance)
             if additional_features is not None:
                 gathered = jnp.concatenate([gathered, additional_features], -1)
-            out = pconv(gathered, weights, precision=self.precision) @ kernel + bias
+            k = kernel if self.dtype is None else kernel.astype(self.dtype)
+            out = pconv(gathered, weights, precision=self.precision) @ k + bias
+        # Params are f32 (and the Pallas kernels accumulate/emit f32), so the
+        # raw output is f32; the module boundary must honor the compute dtype
+        # or downstream residual scans see a carry dtype mismatch.
+        if self.dtype is not None:
+            out = out.astype(self.dtype)
         if self.use_bn:
             out = MaskedBatchNorm(self.out_dim, momentum=self.bn_momentum,
                                   axis_name=self.axis_name, name="bn")(

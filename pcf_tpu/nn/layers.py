@@ -189,7 +189,7 @@ class PointConv(nn.Module):
             # PCONV_OPT path, layers.py:873-887)
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
-                axis_name=cfg.get("bn_axis_name"),
+                axis_name=cfg.get("bn_axis_name"), dtype=dtype,
                 precision=_precision_of(cfg), name="linear")(
                 src_feats, nei_inds, weights,
                 additional_features=weightNetInput if cfg.USE_PE else None,
@@ -268,7 +268,7 @@ class PointConvStridePE(nn.Module):
         # positional encoding branch (layers.py:575-577,669)
         last_ch = min(self.out_channel // 4, 32)
         feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
-                            efficient=True, use_bn=cfg.BATCH_NORM,
+                            efficient=True, use_bn=cfg.BATCH_NORM, dtype=dtype,
                             axis_name=axis_name, name="pe_convs")(
             localized_xyz, mask=out_mask, train=train)
 
@@ -280,7 +280,7 @@ class PointConvStridePE(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                name="linear")(
+                dtype=dtype, name="linear")(
                 src_feats_x, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
@@ -416,7 +416,7 @@ class PCFLayer(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                name="linear")(
+                dtype=dtype, name="linear")(
                 src_feats_x, nei_inds, weights, guidance=guidance_score,
                 mask=out_mask, train=train)
         else:
@@ -499,7 +499,7 @@ class PointConvTransposePE(nn.Module):
         if cfg.USE_PE:
             last_ch = min(self.out_channel // 4, 32)
             feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
-                                efficient=True, use_bn=cfg.BATCH_NORM,
+                                efficient=True, use_bn=cfg.BATCH_NORM, dtype=dtype,
                                 axis_name=axis_name, name="pe_convs")(
                 localized_xyz, mask=out_mask, train=train)
 
@@ -511,7 +511,7 @@ class PointConvTransposePE(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                name="linear")(
+                dtype=dtype, name="linear")(
                 src_feats, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
