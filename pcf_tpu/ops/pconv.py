@@ -59,6 +59,18 @@ def pconv(
     """
     M, K, C = gathered_feat.shape
     W = weights.shape[-1]
+    if precision is None:
+        # Production path (default MXU precision): the batched dot_general
+        # lowers to XLA's dilated-convolution emitter, which runs the M
+        # per-point [C,K]x[K,W] matmuls at ~0.1% MFU (measured 2.1 ms at
+        # M=40960,K=C=W=16 on v5e). The same contraction as a broadcast
+        # multiply + K-reduction stays on the VPU and fuses: 0.23 ms (bf16
+        # inputs) / 1.0 ms (f32). Products round to the input dtype before
+        # the f32 accumulation — one extra bf16 rounding vs the MXU's exact
+        # f32 products, same order as the bf16 activation noise (bf16
+        # logits/mIoU parity covered by tests/test_bf16.py).
+        prod = gathered_feat[:, :, :, None] * weights[:, :, None, :]
+        return prod.astype(preferred_dtype).sum(axis=1).reshape(M, C * W)
     out = lax.dot_general(
         gathered_feat,
         weights,
