@@ -85,13 +85,19 @@ class PCF_Backbone(nn.Module):
 
         if cfg.use_level_1:
             # full-resolution convs (helpful at 5/10cm, model_architecture.py:114-123)
-            pointwise_feat, vi_features = PointConv(
+            # Stage geometry (localized offsets + VI) is computed ONCE for the
+            # level-0 neighborhood and shared by the PointConv and its residual
+            # blocks — they all use edges_self[0] (model_architecture.py:221-241
+            # caches VI the same way; here the f32 geometry gather is shared too).
+            localized0, vi_features = _stage_geometry(
+                pointclouds[0], edges_self[0], norms[0], use_vi=cfg.USE_VI,
+                cfg=cfg)
+            pointwise_feat, _ = PointConv(
                 in_feat_dim, cfg.base_dim, cfg, (wni_dim, cfg.mid_dim[0]),
                 name="selfpointconv")(
                 pointclouds[0], pointwise_feat, edges_self[0], norms[0],
+                vi_features=vi_features, localized_xyz=localized0,
                 dense_mask=masks[0], train=train)
-            localized0, _ = _stage_geometry(
-                pointclouds[0], edges_self[0], norms[0], use_vi=False, cfg=cfg)
             if cfg.get("scan_resblocks", True):
                 pointwise_feat = ResBlockStack(
                     PointConvStridePE, 2, cfg.base_dim, cfg,

@@ -155,6 +155,8 @@ class PointConv(nn.Module):
         dense_xyz_norm=None,
         sparse_xyz=None,
         sparse_xyz_norm=None,
+        vi_features=None,
+        localized_xyz=None,
         dense_mask=None,
         sparse_mask=None,
         train: bool = False,
@@ -171,12 +173,19 @@ class PointConv(nn.Module):
         use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
         src_xyz, src_norm, src_feats = _spatial_full(
             cfg, dense_xyz, dense_xyz_norm, dense_feats)
+        # localized_xyz / vi_features may be precomputed once per stage and
+        # shared with the same-level residual blocks (same edges): on the
+        # flagship that removes a whole 655k-row f32 geometry gather.
         localized_xyz, gathered_norm, gfeats = _gathered_inputs(
             nei_inds, src_xyz, center_xyz,
             [] if use_pallas else [src_feats],
-            dense_xyz_norm=src_norm, need_norm=use_vi)
+            localized_xyz=localized_xyz, dense_xyz_norm=src_norm,
+            need_norm=use_vi and vi_features is None)
         if use_vi:
-            weightNetInput = VI_coordinate_transform(localized_xyz, gathered_norm, center_norm)
+            weightNetInput = (vi_features if vi_features is not None else
+                              VI_coordinate_transform(localized_xyz,
+                                                      gathered_norm,
+                                                      center_norm))
         else:
             weightNetInput = localized_xyz
 
