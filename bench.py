@@ -39,8 +39,10 @@ def main():
     from __graft_entry__ import _flagship
     from pcf_tpu.models import PointConvFormer_Segmentation
 
-    cfg, batch = _flagship(level0_points=20000, bucket=4096, n_scenes=2)
+    cfg, batch = _flagship(level0_points=20000, bucket=4096, n_scenes=2,
+                           window_gather=True)
     cfg.compute_dtype = "bfloat16"  # measured-best; accuracy evidence above
+    cfg.window_gather = True  # windowed dedup gather (benchmarks/RESULTS.md r6)
     model = PointConvFormer_Segmentation(cfg)
 
     # The packed batch — geometry included — is an ARGUMENT of the timed

@@ -34,7 +34,8 @@ def _flops_of(compiled) -> float:
 
 
 def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
-                 compute_dtype: str = "float32", scan_resblocks: bool = True):
+                 compute_dtype: str = "float32", scan_resblocks: bool = True,
+                 window: bool = False):
     import jax
 
     from __graft_entry__ import _flagship
@@ -44,8 +45,9 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     from pcf_tpu.utils.timing import readback_overhead, time_fn
 
     cfg, batch = _flagship(level0_points=level0_points, bucket=4096,
-                           n_scenes=n_scenes)
+                           n_scenes=n_scenes, window_gather=window)
     cfg.USE_PALLAS_KERNEL = use_pallas
+    cfg.window_gather = window
     cfg.compute_dtype = compute_dtype
     cfg.scan_resblocks = scan_resblocks
     model = PointConvFormer_Segmentation(cfg)
@@ -97,6 +99,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     return {
         "use_pallas": use_pallas,
         "compute_dtype": compute_dtype,
+        "window_gather": window,
         "valid_points": valid,
         "eval_ms": t_eval * 1e3,
         "eval_pts_per_sec": valid / t_eval,
@@ -117,6 +120,9 @@ def main():
                              "gather HBM traffic on this gather-bound model)")
     parser.add_argument("--pallas", default="both",
                         choices=["both", "on", "off"])
+    parser.add_argument("--window", action="store_true",
+                        help="windowed dedup gather (ops/window.py): Morton-"
+                             "sorted pipeline + per-tile window resolve")
     parser.add_argument("--unroll", action="store_true",
                         help="unroll residual stacks instead of nn.scan "
                              "(faster steps, slower compile)")
@@ -133,13 +139,14 @@ def main():
           f"device: {kind}")
     variants = {"both": (False, True), "on": (True,), "off": (False,)}
     rows = [bench_config(up, args.points, args.scenes, args.dtype,
-                         scan_resblocks=not args.unroll)
+                         scan_resblocks=not args.unroll, window=args.window)
             for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
         mfu_t = f" ({r['train_tflops']/peak*100:.1f}% MFU)" if peak else ""
         name = "Pallas-fused" if r["use_pallas"] else "XLA-reference"
         name += " bf16" if r["compute_dtype"] == "bfloat16" else ""
+        name += " +win" if r.get("window_gather") else ""
         print(f"{name:>14}: eval {r['eval_ms']:7.2f} ms "
               f"{r['eval_pts_per_sec']/1e6:6.3f} Mpts/s "
               f"{r['eval_tflops']:5.2f} TFLOP/s{mfu_e} | "

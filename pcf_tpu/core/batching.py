@@ -77,6 +77,8 @@ def pack_scenes(
     level_caps: Sequence[int] | None = None,
     bucket_multiple: int = 8192,
     ignore_label: int = -100,
+    window_tile: int | None = None,
+    window_size: int | None = None,
 ) -> PackedPyramid:
     """Pack per-scene pyramids (dicts from subsample_and_knn) into one padded batch.
 
@@ -84,6 +86,11 @@ def pack_scenes(
     'point_list' / 'surface_normal_list' per level, and the three edge lists
     'nei_self_list' / 'nei_forward_list' / 'nei_propagate_list'.
     (Same keys as the reference dataloader items, scannet_data_loader:267-281.)
+
+    window_tile set (e.g. 128) wraps every edge array in a WindowedEdges with
+    precomputed tile windows (ops/window.py) — requires the scenes to be
+    Morton-sorted per level (scene_to_item(morton=True)) so the per-tile
+    unique-neighbor bound holds.
     """
     n_levels = len(scenes[0]["point_list"])
     # packed (pre-padding) sizes per level
@@ -144,9 +151,25 @@ def pack_scenes(
             ).astype(np.int32)
             edges_propagate.append(jnp.asarray(_pad_rows(ep, cap)))
 
-    edges_forward = tuple(
-        jnp.asarray(_pad_rows(ef, cap_next)) for ef, cap_next in edges_forward
-    )
+    if window_tile and "nei_self_list" in scenes[0]:
+        from pcf_tpu.ops.window import build_windows
+
+        def _win(arr, factor):
+            # Per-edge-kind window sizes (x tile), from measured per-tile
+            # unique-neighbor maxima on Morton-sorted scenes (tile=128):
+            # self <=406, forward (coarse rows -> fine level, worst dedup)
+            # <=1073, propagate <=298; each with >=25% margin.
+            w = window_size if window_size else factor * window_tile
+            return build_windows(np.asarray(arr), tile=window_tile, window=w)
+
+        edges_self = [_win(e, 4) for e in edges_self]
+        edges_propagate = [_win(e, 4) for e in edges_propagate]
+        edges_forward = tuple(
+            _win(_pad_rows(ef, cap_next), 12) for ef, cap_next in edges_forward)
+    else:
+        edges_forward = tuple(
+            jnp.asarray(_pad_rows(ef, cap_next)) for ef, cap_next in edges_forward
+        )
 
     feats = np.concatenate([s["feature_list"] for s in scenes], 0).astype(np.float32)
     feats = jnp.asarray(_pad_rows(feats, level_caps[0]))

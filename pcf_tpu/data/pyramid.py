@@ -86,12 +86,20 @@ def subsample_and_knn(
     K_forward=16,
     K_propagate=16,
     rng: np.random.Generator | None = None,
+    morton: bool = False,
 ):
     """Build the full pyramid + the three kNN edge sets per level
     (reference: datasetCommon.py:423-483).
 
     Returns point_list, nei_forward_list, nei_propagate_list, nei_self_list,
     norm_list — identical structure to the reference.
+
+    morton=True sorts every level into Z-order before edges are built (point
+    sets are order-free, so this changes nothing semantically). Spatial
+    neighbors then sit close in row index, which is what makes the windowed
+    dedup gather (ops/window.py) hold its per-tile window bound. Level 0 is
+    sorted by the caller (scene_to_item) so features/labels follow the same
+    permutation.
     """
     if isinstance(K_self, int):
         K_self = [K_self] * len(grid_size)
@@ -115,6 +123,11 @@ def subsample_and_knn(
                 point_list[-1], features=norm_list[-1], sampleDl=grid_s)
             if sub_point.shape[0] <= K_self[j]:
                 sub_point, sub_norm = point_list[-1], norm_list[-1]
+            elif morton:
+                from pcf_tpu.ops.window import morton_argsort
+
+                perm = morton_argsort(sub_point)
+                sub_point, sub_norm = sub_point[perm], sub_norm[perm]
 
             nei_forward_list.append(
                 compute_knn(point_list[-1], sub_point, K_forward[j], rng=rng))
@@ -129,11 +142,20 @@ def subsample_and_knn(
 
 
 def scene_to_item(coord, norm, feats, labels, grid_size, K_self=16,
-                  K_forward=16, K_propagate=16, rng=None) -> dict:
+                  K_forward=16, K_propagate=16, rng=None,
+                  morton: bool = False) -> dict:
     """Build one dataloader item dict (keys match the reference's dataset items,
     scannet_data_loader_color_DDP.py:267-281)."""
+    if morton:
+        from pcf_tpu.ops.window import morton_argsort
+
+        perm = morton_argsort(coord)
+        coord, norm, feats = coord[perm], norm[perm], feats[perm]
+        if labels is not None:
+            labels = np.asarray(labels)[perm]
     point_list, nf, npg, ns, norm_list = subsample_and_knn(
-        coord, norm, grid_size, K_self, K_forward, K_propagate, rng=rng)
+        coord, norm, grid_size, K_self, K_forward, K_propagate, rng=rng,
+        morton=morton)
     item = {
         "point_list": point_list,
         "surface_normal_list": norm_list,

@@ -251,7 +251,8 @@ class ScanNetDataset:
             }
         return scene_to_item(coord, norm, color, label, cfg.grid_size,
                              cfg.get("K_self", 16), cfg.get("K_forward", 16),
-                             cfg.get("K_propagate", 16), rng=self.rng)
+                             cfg.get("K_propagate", 16), rng=self.rng,
+                             morton=bool(cfg.get("window_gather")))
 
 
 class PackedLoader:
@@ -304,9 +305,13 @@ class PackedLoader:
         SENTINEL = object()
 
         def _pack(batch):
+            cfg = self.dataset.cfg
             return pack_scenes(batch, level_caps=self.level_caps,
                                bucket_multiple=self.bucket_multiple,
-                               ignore_label=self.dataset.cfg.ignore_label)
+                               ignore_label=cfg.ignore_label,
+                               window_tile=(cfg.get("window_tile", 128)
+                                            if cfg.get("window_gather") else None),
+                               window_size=cfg.get("window_size"))
 
         def producer():
             try:

@@ -56,11 +56,16 @@ class FusedConvLinear(nn.Module):
                       and self.out_dim >= 64)
         interpret = _interpret_default()
         if use_kernel and guidance is not None:
-            out = pcf_linear_fused(feats, nei_inds, guidance, weights,
-                                   kernel, bias, interpret=interpret)
+            from pcf_tpu.ops.window import plain_edges
+
+            out = pcf_linear_fused(feats, plain_edges(nei_inds), guidance,
+                                   weights, kernel, bias, interpret=interpret)
         elif use_kernel:
-            out = pconv_linear_fused(feats, nei_inds, weights, kernel, bias,
-                                     additional_features, interpret=interpret)
+            from pcf_tpu.ops.window import plain_edges
+
+            out = pconv_linear_fused(feats, plain_edges(nei_inds), weights,
+                                     kernel, bias, additional_features,
+                                     interpret=interpret)
         else:
             from pcf_tpu.ops.gather import index_points
             from pcf_tpu.ops.pconv import guided_contraction, pconv

@@ -9,3 +9,10 @@ from pcf_tpu.ops.pconv import (
     pcf_conv,
     guided_contraction,
 )
+from pcf_tpu.ops.window import (
+    WindowedEdges,
+    build_windows,
+    morton_argsort,
+    plain_edges,
+    windowed_take,
+)

@@ -12,14 +12,29 @@ import jax
 import jax.numpy as jnp
 
 
-def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def index_points(points: jnp.ndarray, idx) -> jnp.ndarray:
     """Gather rows of `points` by integer index.
 
     Accepts the reference layout (reference: layer_utils.py:13-30):
       points: [B, N, C], idx: [B, S] or [B, S, K] -> [B, S, C] / [B, S, K, C]
     and the packed 2-D layout used internally:
       points: [N, C],    idx: [S] / [S, K]        -> [S, C] / [S, K, C]
+
+    `idx` may be a WindowedEdges (pcf_tpu.ops.window): the gather then runs
+    the windowed dedup path (4x fewer HBM row transactions; measured ~3x
+    faster backward) instead of a native per-row gather.
     """
+    from pcf_tpu.ops.window import WindowedEdges, windowed_take
+
+    if isinstance(idx, WindowedEdges):
+        # Windowed path only for 2-byte (bf16) tables: that's where both
+        # wins live (feature gathers forward + the 3x-cheaper training
+        # scatter). f32 tables here are geometry (coords/normals) — no
+        # backward flows to them, and Mosaic's 128-lane padding of the
+        # narrow f32 blocks makes the windowed forward a net loss.
+        if points.ndim == 2 and points.dtype.itemsize == 2:
+            return windowed_take(points, idx)
+        idx = idx.nei
     if points.ndim == 2:
         return jnp.take(points, idx, axis=0, mode="clip")
     # Batched: map the gather over the leading batch dim.
