@@ -350,3 +350,26 @@ def test_pth_scene_loading(tmp_path):
     item = ds[0]
     assert len(item["point_list"]) == 3
     assert item["feature_list"].shape[1] == 3
+
+
+def test_loader_windowed_edges(scene_dir):
+    """cfg.window_gather=True: the loader Morton-sorts scenes and emits
+    WindowedEdges for every edge array; indices match the plain arrays'
+    gather results by construction (ops/window.py invariants)."""
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+    from pcf_tpu.ops.window import WindowedEdges
+
+    cfg = _cfg(scene_dir, window_gather=True, window_tile=128)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    loader = PackedLoader(ds, batch_size=2, bucket_multiple=256, seed=0)
+    b = next(iter(loader))
+    for arrs in (b.edges_self, b.edges_forward, b.edges_propagate):
+        for e in arrs:
+            assert isinstance(e, WindowedEdges)
+            T, Wsz = e.window_rows.shape
+            assert e.nei.shape[0] == T * e.tile
+            # every edge resolves to its own row through the window
+            rows = np.asarray(e.window_rows)[
+                np.repeat(np.arange(T), e.tile * e.nei.shape[1]),
+                np.asarray(e.localT).reshape(-1)]
+            assert np.array_equal(rows, np.asarray(e.nei).reshape(-1))

@@ -172,3 +172,50 @@ def model_equivalence_main():
     lwb = np.asarray(jax.jit(fwd_bf)(bw)).astype(np.float32)
     lpb = np.asarray(jax.jit(fwd_bf)(bp)).astype(np.float32)
     np.testing.assert_allclose(lwb, lpb, rtol=5e-2, atol=5e-2)
+
+
+def test_windowed_dp_train_step_matches_plain():
+    """Windowed edges stack under stack_batches and run through the
+    shard_map DP train step (8 virtual devices); loss matches the plain-edge
+    program on the same scenes (windows are an execution strategy only)."""
+    from pcf_tpu.config import Config, get_default_configs, get_default_training_cfgs
+    from pcf_tpu.data import synthetic_scene
+    from pcf_tpu.data.pyramid import scene_to_item
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel import make_mesh, make_train_step, stack_batches
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    grid = [0.4, 0.8]
+    cfg = get_default_configs(Config(), num_level=2, base_dim=8)
+    cfg = get_default_training_cfgs(cfg)
+    cfg.update(guided_level=0, num_heads=2, resblocks=[0, 1], mid_dim=[4, 4],
+               grid_size=grid, num_classes=4, learning_rate=0.01,
+               scheduler="MultiStepWithWarmup", milestones=[1000],
+               warmup_epochs=1, use_level_1=False,
+               sync_bn=True, bn_axis_name="data")
+
+    def batch(seed, window):
+        coord, norm, feats, labels = synthetic_scene(
+            150, extent=3.0, num_classes=4, seed=seed)
+        item = scene_to_item(coord, norm, feats, labels, grid, 8, 8, 8,
+                             rng=np.random.default_rng(seed), morton=True)
+        return pack_scenes([item], level_caps=[256, 256],
+                           window_tile=128 if window else None)
+
+    model = PointConvFormer_Segmentation(cfg)
+    results = {}
+    for window in (True, False):
+        batches = [batch(i, window) for i in range(8)]
+        stacked = stack_batches(batches)
+        b0 = batches[0]
+        vs = model.init(jax.random.PRNGKey(0), b0.feats, list(b0.points),
+                        list(b0.edges_self), list(b0.edges_forward),
+                        list(b0.edges_propagate), list(b0.norms),
+                        masks=list(b0.masks), train=False)
+        tx, _ = make_optimizer(cfg, iter_per_epoch=10)
+        state = create_train_state(vs, tx)
+        step = make_train_step(model, tx, cfg, mesh=make_mesh(8))
+        _, metrics = step(state, stacked, jax.random.PRNGKey(1))
+        results[window] = float(metrics["loss"])
+        assert np.isfinite(results[window])
+    assert abs(results[True] - results[False]) < 1e-4, results
