@@ -154,18 +154,20 @@ def pack_scenes(
     if window_tile and "nei_self_list" in scenes[0]:
         from pcf_tpu.ops.window import build_windows
 
-        def _win(arr, factor):
-            # Per-edge-kind window sizes (x tile), from measured per-tile
-            # unique-neighbor maxima on Morton-sorted scenes (tile=128):
-            # self <=406, forward (coarse rows -> fine level, worst dedup)
-            # <=1073, propagate <=298; each with >=25% margin.
-            w = window_size if window_size else factor * window_tile
+        def _win(arr, mult128):
+            # Per-edge-kind window sizes (x128 slots), from measured
+            # per-tile unique-neighbor maxima on Morton-sorted scenes
+            # (tile=128): self <=406 -> 512, forward (coarse rows -> fine
+            # level, the worst dedup) <=1073 -> 1280, propagate <=298 ->
+            # 384; >=19% margin each. Resolve-kernel cost scales with the
+            # window, so these are as tight as the margins allow.
+            w = window_size if window_size else mult128 * 128
             return build_windows(np.asarray(arr), tile=window_tile, window=w)
 
         edges_self = [_win(e, 4) for e in edges_self]
-        edges_propagate = [_win(e, 4) for e in edges_propagate]
+        edges_propagate = [_win(e, 3) for e in edges_propagate]
         edges_forward = tuple(
-            _win(_pad_rows(ef, cap_next), 12) for ef, cap_next in edges_forward)
+            _win(_pad_rows(ef, cap_next), 10) for ef, cap_next in edges_forward)
     else:
         edges_forward = tuple(
             jnp.asarray(_pad_rows(ef, cap_next)) for ef, cap_next in edges_forward
