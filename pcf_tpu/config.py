@@ -104,6 +104,10 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # None = per-edge-kind defaults (see core/batching.pack_scenes); set an
     # int to force one window size for every edge array.
     cfg.setdefault("window_size", None)
+    # (self, forward, propagate) slot counts; None -> derived from the
+    # dataset at loader startup (data/scannet.estimate_window_sizes).
+    cfg.setdefault("window_sizes", None)
+    cfg.setdefault("window_margin", 1.3)
     return cfg
 
 

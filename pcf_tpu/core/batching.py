@@ -79,6 +79,7 @@ def pack_scenes(
     ignore_label: int = -100,
     window_tile: int | None = None,
     window_size: int | None = None,
+    window_sizes: Sequence[int] | None = None,
 ) -> PackedPyramid:
     """Pack per-scene pyramids (dicts from subsample_and_knn) into one padded batch.
 
@@ -93,31 +94,49 @@ def pack_scenes(
     unique-neighbor bound holds.
     """
     n_levels = len(scenes[0]["point_list"])
-    # packed (pre-padding) sizes per level
-    sizes = [sum(s["point_list"][l].shape[0] for s in scenes) for l in range(n_levels)]
+    # Under windowed gathers every scene's segment is aligned to the tile so
+    # no window tile ever straddles two scenes — that keeps the per-tile
+    # unique-neighbor bound a PER-SCENE property (estimate_window_sizes
+    # measures scenes, not packed batches). Alignment gaps are ordinary
+    # invalid rows: mask False, bid -1, edges 0, label ignored.
+    align = window_tile if window_tile else 1
+
+    def _seg_sizes(lvl):
+        return [round_up(s["point_list"][lvl].shape[0], align) for s in scenes]
+
+    # packed (pre-padding) sizes per level, alignment included
+    sizes = [sum(_seg_sizes(l)) for l in range(n_levels)]
     if level_caps is None:
         level_caps = compute_level_caps(sizes, bucket_multiple)
     assert all(c >= s for c, s in zip(level_caps, sizes)), (level_caps, sizes)
+
+    def _cat_aligned(arrs, lvl, value=0):
+        """Concat per-scene arrays, each zero-padded to its aligned size."""
+        segs = [_pad_rows(np.asarray(a), sz, value=value)
+                for a, sz in zip(arrs, _seg_sizes(lvl))]
+        return np.concatenate(segs, 0)
 
     points, norms, masks, bids = [], [], [], []
     edges_self, edges_forward, edges_propagate = [], [], []
 
     for lvl in range(n_levels):
-        offs = np.cumsum([0] + [s["point_list"][lvl].shape[0] for s in scenes])
-        pts = np.concatenate([s["point_list"][lvl] for s in scenes], 0).astype(np.float32)
-        nrm = np.concatenate([s["surface_normal_list"][lvl] for s in scenes], 0).astype(np.float32)
-        bid = np.concatenate(
-            [np.full(s["point_list"][lvl].shape[0], i, np.int32) for i, s in enumerate(scenes)]
-        )
+        seg = _seg_sizes(lvl)
+        offs = np.cumsum([0] + seg)
+        pts = _cat_aligned([s["point_list"][lvl] for s in scenes],
+                           lvl).astype(np.float32)
+        nrm = _cat_aligned([s["surface_normal_list"][lvl] for s in scenes],
+                           lvl).astype(np.float32)
+        bid = _cat_aligned(
+            [np.full(s["point_list"][lvl].shape[0], i, np.int32)
+             for i, s in enumerate(scenes)], lvl, value=-1)
         cap = level_caps[lvl]
         mask = np.zeros(cap, bool)
-        mask[: pts.shape[0]] = True
+        mask[: bid.shape[0]] = bid >= 0
         # Padded coords are 0 (NOT a far-away sentinel): huge sentinel values
         # overflow bf16 matmuls on padded rows into NaN, and NaN*0 poisons
         # parameter grads through BN reductions. kNN/stat exclusion of padding
         # is handled by masks/bids, never by coordinate magnitude.
-        pts_pad = _pad_rows(pts, cap, value=0.0)
-        points.append(jnp.asarray(pts_pad))
+        points.append(jnp.asarray(_pad_rows(pts, cap, value=0.0)))
         norms.append(jnp.asarray(_pad_rows(nrm, cap)))
         masks.append(jnp.asarray(mask))
         bids.append(jnp.asarray(_pad_rows(bid, cap, value=-1)))
@@ -132,53 +151,58 @@ def pack_scenes(
                 edges_propagate.append(jnp.zeros((cap, 1), jnp.int32))
             continue
 
-        es = np.concatenate(
-            [s["nei_self_list"][lvl] + offs[i] for i, s in enumerate(scenes)], 0
-        ).astype(np.int32)
+        es = _cat_aligned(
+            [s["nei_self_list"][lvl] + offs[i] for i, s in enumerate(scenes)],
+            lvl).astype(np.int32)
         edges_self.append(jnp.asarray(_pad_rows(es, cap)))
 
         if lvl < n_levels - 1:
             # forward edges live at level lvl+1 and index into level lvl
-            ef = np.concatenate(
-                [s["nei_forward_list"][lvl] + offs[i] for i, s in enumerate(scenes)], 0
-            ).astype(np.int32)
+            ef = _cat_aligned(
+                [s["nei_forward_list"][lvl] + offs[i]
+                 for i, s in enumerate(scenes)], lvl + 1).astype(np.int32)
             edges_forward.append((ef, level_caps[lvl + 1]))
             # propagate edges live at level lvl and index into level lvl+1
-            offs_next = np.cumsum(
-                [0] + [s["point_list"][lvl + 1].shape[0] for s in scenes])
-            ep = np.concatenate(
-                [s["nei_propagate_list"][lvl] + offs_next[i] for i, s in enumerate(scenes)], 0
-            ).astype(np.int32)
+            offs_next = np.cumsum([0] + _seg_sizes(lvl + 1))
+            ep = _cat_aligned(
+                [s["nei_propagate_list"][lvl] + offs_next[i]
+                 for i, s in enumerate(scenes)], lvl).astype(np.int32)
             edges_propagate.append(jnp.asarray(_pad_rows(ep, cap)))
 
     if window_tile and "nei_self_list" in scenes[0]:
         from pcf_tpu.ops.window import build_windows
 
-        def _win(arr, mult128):
-            # Per-edge-kind window sizes (x128 slots), from measured
-            # per-tile unique-neighbor maxima on Morton-sorted scenes
-            # (tile=128): self <=406 -> 512, forward (coarse rows -> fine
-            # level, the worst dedup) <=1073 -> 1280, propagate <=298 ->
-            # 384; >=19% margin each. Resolve-kernel cost scales with the
-            # window, so these are as tight as the margins allow.
-            w = window_size if window_size else mult128 * 128
+        # Per-edge-kind window sizes (self, forward, propagate). Unique-
+        # neighbor maxima are DATASET-dependent (denser scans dedup better),
+        # so production pins them via estimate_window_sizes (data/scannet,
+        # the pin_level_caps pattern); these built-in defaults carry a wide
+        # margin over every dataset measured (flagship-synthetic maxima
+        # 406/1073/298; sparse synth-rooms self-max 539). Resolve-kernel
+        # cost scales with the window — pin tight sizes for speed.
+        ws, wf, wp = window_sizes or (768, 1536, 512)
+        if window_size:  # single explicit override for every kind
+            ws = wf = wp = window_size
+
+        def _win(arr, w):
             return build_windows(np.asarray(arr), tile=window_tile, window=w)
 
-        edges_self = [_win(e, 4) for e in edges_self]
-        edges_propagate = [_win(e, 3) for e in edges_propagate]
+        edges_self = [_win(e, ws) for e in edges_self]
+        edges_propagate = [_win(e, wp) for e in edges_propagate]
         edges_forward = tuple(
-            _win(_pad_rows(ef, cap_next), 10) for ef, cap_next in edges_forward)
+            _win(_pad_rows(ef, cap_next), wf) for ef, cap_next in edges_forward)
     else:
         edges_forward = tuple(
             jnp.asarray(_pad_rows(ef, cap_next)) for ef, cap_next in edges_forward
         )
 
-    feats = np.concatenate([s["feature_list"] for s in scenes], 0).astype(np.float32)
+    feats = _cat_aligned([s["feature_list"] for s in scenes], 0).astype(np.float32)
     feats = jnp.asarray(_pad_rows(feats, level_caps[0]))
     if "label_list" in scenes[0]:
-        labels = np.concatenate([s["label_list"] for s in scenes], 0).astype(np.int32)
+        labels = _cat_aligned(
+            [np.asarray(s["label_list"]).reshape(-1) for s in scenes], 0,
+            value=ignore_label).astype(np.int32)
     else:
-        labels = np.zeros(sizes[0], np.int32)
+        labels = np.full(sizes[0], ignore_label, np.int32)
     labels = jnp.asarray(_pad_rows(labels.reshape(-1), level_caps[0], value=ignore_label))
 
     return PackedPyramid(

@@ -293,9 +293,12 @@ class PackedLoader:
         """Would `batch + [item]` still pack under the pinned level caps?"""
         if self.level_caps is None:
             return True
+        cfg = self.dataset.cfg
+        align = cfg.get("window_tile", 128) if cfg.get("window_gather") else 1
+        up = lambda n: -(-n // align) * align
         for lvl, cap in enumerate(self.level_caps):
-            total = item["point_list"][lvl].shape[0] + sum(
-                s["point_list"][lvl].shape[0] for s in batch)
+            total = up(item["point_list"][lvl].shape[0]) + sum(
+                up(s["point_list"][lvl].shape[0]) for s in batch)
             if total > cap:
                 return False
         return True
@@ -311,7 +314,8 @@ class PackedLoader:
                                ignore_label=cfg.ignore_label,
                                window_tile=(cfg.get("window_tile", 128)
                                             if cfg.get("window_gather") else None),
-                               window_size=cfg.get("window_size"))
+                               window_size=cfg.get("window_size"),
+                               window_sizes=cfg.get("window_sizes"))
 
         def producer():
             try:
@@ -376,6 +380,36 @@ def estimate_level_caps(datasets, batch_size: int, bucket_multiple: int,
         [int(s * batch_size * margin) for s in per_level], bucket_multiple)
 
 
+def estimate_window_sizes(datasets, sample: int = 16, margin: float = 1.3,
+                          tile: int = 128, seed: int = 0) -> tuple:
+    """Dataset-derived windowed-gather sizes (self, forward, propagate).
+
+    Per-tile unique-neighbor maxima depend on scan density and augmentation,
+    so like estimate_level_caps this samples augmented scenes, measures the
+    maxima per edge kind, and sizes each window with `margin` headroom
+    (rounded up to 128 slots). Tiles that straddle packed scene boundaries
+    mix two neighborhoods; the margin covers that too.
+    """
+    from pcf_tpu.ops.window import max_window_uniques
+
+    rng = np.random.default_rng(seed)
+    mx = {"self": 1, "fwd": 1, "prop": 1}
+    for ds in datasets:
+        for i in rng.permutation(len(ds))[:sample]:
+            item = ds[int(i)]
+            for e in item.get("nei_self_list", []):
+                mx["self"] = max(mx["self"], max_window_uniques(e, tile))
+            for e in item.get("nei_forward_list", []):
+                mx["fwd"] = max(mx["fwd"], max_window_uniques(e, tile))
+            for e in item.get("nei_propagate_list", []):
+                mx["prop"] = max(mx["prop"], max_window_uniques(e, tile))
+
+    def _round(v):
+        return int(-(-int(v * margin) // 128) * 128)
+
+    return (_round(mx["self"]), _round(mx["fwd"]), _round(mx["prop"]))
+
+
 def getdataLoaders(cfg, process_index: int = 0, process_count: int = 1):
     """Train + val loaders (reference API: scannet_data_loader_color_DDP.py:303-344).
 
@@ -393,6 +427,11 @@ def getdataLoaders(cfg, process_index: int = 0, process_count: int = 1):
             sample=cfg.get("level_caps_sample", 16),
             margin=cfg.get("level_caps_margin", 1.25), seed=cfg.manual_seed)
         cfg.level_caps = level_caps
+    if cfg.get("window_gather") and not cfg.get("window_sizes"):
+        cfg.window_sizes = estimate_window_sizes(
+            [train_ds, val_ds], sample=cfg.get("level_caps_sample", 16),
+            margin=cfg.get("window_margin", 1.3),
+            tile=cfg.get("window_tile", 128), seed=cfg.manual_seed)
     train_loader = PackedLoader(
         train_ds, cfg.BATCH_SIZE, bucket_multiple=cfg.bucket_multiple,
         shuffle=True, drop_last=True, seed=cfg.manual_seed,

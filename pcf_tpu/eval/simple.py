@@ -62,7 +62,10 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     for idx in range(n):
         item = dataset[idx]
         batch = pack_scenes([item], bucket_multiple=cfg.bucket_multiple,
-                            ignore_label=cfg.ignore_label)
+                            ignore_label=cfg.ignore_label,
+                            window_tile=(cfg.get("window_tile", 128)
+                                         if cfg.get("window_gather") else None),
+                            window_sizes=cfg.get("window_sizes"))
         if variables is None:
             # initialize template, then restore the checkpoint into it
             variables = jax.jit(lambda k: model.init(

@@ -121,6 +121,18 @@ def plain_edges(edges) -> jnp.ndarray:
     return edges.nei if isinstance(edges, WindowedEdges) else edges
 
 
+def max_window_uniques(nei: np.ndarray, tile: int = 128) -> int:
+    """Max unique-neighbor count over tiles of `tile` rows (pipeline-side
+    sizing probe; rows are zero-padded to a tile multiple like packing)."""
+    M, K = nei.shape
+    Mp = -(-M // tile) * tile
+    if Mp != M:
+        nei = np.concatenate(
+            [nei, np.zeros((Mp - M, K), nei.dtype)], axis=0)
+    tiles = nei.reshape(Mp // tile, tile * K)
+    return max(len(np.unique(t)) for t in tiles)
+
+
 def build_windows(nei: np.ndarray, tile: int = 128, window: int | None = None,
                   strict: bool = True):
     """Precompute tile windows for an edge array (numpy, pipeline side).

@@ -168,6 +168,12 @@ def main(cfg):
         jax.distributed.initialize()
     import jax
 
+    # Persistent compilation cache: restarts/resumes skip the multi-minute
+    # first compile of the train/eval steps (same setting bench.py uses).
+    jax.config.update("jax_compilation_cache_dir",
+                      cfg.get("compile_cache_dir", "/tmp/pcf_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from pcf_tpu.data.scannet import getdataLoaders
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.parallel import make_eval_step, make_train_step

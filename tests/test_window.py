@@ -131,9 +131,14 @@ def model_equivalence_main():
 
     bw = _tiny_batch(True)
     bp = _tiny_batch(False)
-    for ew, ep in zip(bw.edges_self, bp.edges_self):
-        assert isinstance(ew, WindowedEdges)
-        assert np.array_equal(np.asarray(plain_edges(ew)), np.asarray(ep))
+    # windowed packing tile-aligns each scene segment, so row LAYOUTS differ;
+    # valid rows (in scene-concatenation order) must still correspond
+    mw = np.asarray(bw.masks[0])
+    mp = np.asarray(bp.masks[0])
+    assert mw.sum() == mp.sum()
+    np.testing.assert_allclose(np.asarray(bw.points[0])[mw],
+                               np.asarray(bp.points[0])[mp])
+    assert isinstance(bw.edges_self[0], WindowedEdges)
 
     cfg = get_default_training_cfgs(get_default_configs(
         Config(), num_level=3, base_dim=32))
@@ -150,8 +155,8 @@ def model_equivalence_main():
                            list(b.edges_forward), list(b.edges_propagate),
                            list(b.norms), masks=list(b.masks), train=False)
 
-    lw = np.asarray(jax.jit(fwd)(bw))
-    lp = np.asarray(jax.jit(fwd)(bp))
+    lw = np.asarray(jax.jit(fwd)(bw))[mw]
+    lp = np.asarray(jax.jit(fwd)(bp))[mp]
     np.testing.assert_allclose(lw, lp, rtol=1e-5, atol=1e-5)
 
     # bf16 compute routes feature gathers through the windowed kernels
@@ -169,8 +174,8 @@ def model_equivalence_main():
                               list(b.edges_forward), list(b.edges_propagate),
                               list(b.norms), masks=list(b.masks), train=False)
 
-    lwb = np.asarray(jax.jit(fwd_bf)(bw)).astype(np.float32)
-    lpb = np.asarray(jax.jit(fwd_bf)(bp)).astype(np.float32)
+    lwb = np.asarray(jax.jit(fwd_bf)(bw)).astype(np.float32)[mw]
+    lpb = np.asarray(jax.jit(fwd_bf)(bp)).astype(np.float32)[mp]
     np.testing.assert_allclose(lwb, lpb, rtol=5e-2, atol=5e-2)
 
 
