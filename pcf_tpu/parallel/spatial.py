@@ -47,6 +47,16 @@ def spatial_eval_forward(cfg, variables, batch: PackedPyramid, mesh: Mesh):
     cfg.bn_axis_name = None  # eval: running stats, no cross-shard reduction
     model = PointConvFormer_Segmentation(cfg)
 
+    # Spatial sharding runs the plain gather path: WindowedEdges tile counts
+    # need not divide the mesh, and windowed gathers under a row-sharded
+    # layout are unvalidated — unwrap to the raw [M, K] edge arrays.
+    from pcf_tpu.ops.window import plain_edges
+
+    batch = batch.replace(
+        edges_self=tuple(plain_edges(e) for e in batch.edges_self),
+        edges_forward=tuple(plain_edges(e) for e in batch.edges_forward),
+        edges_propagate=tuple(plain_edges(e) for e in batch.edges_propagate))
+
     def fwd(vs, b):
         return model.apply(
             vs, b.feats, list(b.points), list(b.edges_self),
