@@ -175,10 +175,26 @@ def load_config(path: str, overrides=None) -> Config:
 
 
 def apply_overrides(cfg: Config, overrides) -> Config:
-    """Apply "key=value" strings onto cfg (value parsed with yaml.safe_load)."""
+    """Apply "key=value" strings onto cfg (value parsed with yaml.safe_load).
+
+    Dotted keys assign into nested Configs ("a.b=1" sets cfg.a.b), creating
+    intermediate Configs as needed; assigning through a non-mapping fails
+    loudly instead of silently writing an unread literal "a.b" entry.
+    """
     for kv in overrides or []:
         key, _, raw = kv.partition("=")
         if not _:
             raise ValueError(f"override {kv!r} is not of the form key=value")
-        cfg[key.strip()] = yaml.safe_load(raw)
+        parts = [p.strip() for p in key.strip().split(".")]
+        node = cfg
+        for p in parts[:-1]:
+            child = node.get(p)
+            if child is None:
+                child = node[p] = Config()
+            elif not isinstance(child, dict):
+                raise ValueError(
+                    f"override {kv!r}: {p!r} is a {type(child).__name__}, "
+                    "not a nested config")
+            node = child
+        node[parts[-1]] = yaml.safe_load(raw)
     return cfg

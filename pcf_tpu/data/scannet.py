@@ -25,6 +25,7 @@ from __future__ import annotations
 import glob
 import queue
 import threading
+import warnings
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -289,6 +290,24 @@ class PackedLoader:
             np.random.default_rng(self.seed + self.epoch).shuffle(idx)
         return idx[self.process_index::self.process_count]
 
+    def _scene_windows_fit(self, scene) -> bool:
+        """Would this scene's own tiles fit the pinned window sizes? (Scenes
+        are tile-aligned in pack_scenes, so tile windows are a per-scene
+        property; only evaluated on the rare overflow event.)"""
+        from pcf_tpu.ops.window import max_window_uniques
+
+        cfg = self.dataset.cfg
+        tile = cfg.get("window_tile", 128)
+        ws, wf, wp = (cfg.get("window_sizes") or (768, 1536, 512))
+        if cfg.get("window_size"):
+            ws = wf = wp = cfg.window_size
+        for key, limit in (("nei_self_list", ws), ("nei_forward_list", wf),
+                           ("nei_propagate_list", wp)):
+            for e in scene.get(key, []):
+                if max_window_uniques(np.asarray(e), tile) > limit:
+                    return False
+        return True
+
     def _fits(self, batch, item) -> bool:
         """Would `batch + [item]` still pack under the pinned level caps?"""
         if self.level_caps is None:
@@ -307,15 +326,45 @@ class PackedLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
 
-        def _pack(batch):
+        def _pack(batch, window_tile="cfg"):
             cfg = self.dataset.cfg
+            if window_tile == "cfg":
+                window_tile = (cfg.get("window_tile", 128)
+                               if cfg.get("window_gather") else None)
             return pack_scenes(batch, level_caps=self.level_caps,
                                bucket_multiple=self.bucket_multiple,
                                ignore_label=cfg.ignore_label,
-                               window_tile=(cfg.get("window_tile", 128)
-                                            if cfg.get("window_gather") else None),
+                               window_tile=window_tile,
                                window_size=cfg.get("window_size"),
                                window_sizes=cfg.get("window_sizes"))
+
+        def _pack_with_policy(batch):
+            """Window overflow must DEGRADE, not kill a long training run
+            (an augmented outlier scene can exceed the estimated window
+            sizes). Policies (cfg.window_overflow):
+              'plain' (default): re-pack the batch with plain [M,K] edges —
+                  correct output, only slower; fine when shapes may vary.
+              'drop': remove the offending scene(s) and re-pack — keeps the
+                  WindowedEdges pytree structure identical across batches,
+                  which pinned-shape mesh batching requires (stack_batches).
+              'raise': the old strict behavior (tests / explicit pins).
+            """
+            from pcf_tpu.ops.window import WindowOverflow
+
+            try:
+                return _pack(batch)
+            except WindowOverflow as e:
+                cfg = self.dataset.cfg
+                policy = cfg.get("window_overflow", "plain")
+                if policy == "raise":
+                    raise
+                warnings.warn(f"window overflow ({e}); policy={policy}")
+                if policy == "drop":
+                    keep = [s for s in batch if self._scene_windows_fit(s)]
+                    if not keep:
+                        return None
+                    return _pack(keep)
+                return _pack(batch, window_tile=None)
 
         def producer():
             try:
@@ -332,14 +381,20 @@ class PackedLoader:
                                 f"scene {i} alone exceeds level_caps "
                                 f"{list(self.level_caps)} (sizes {sizes}); "
                                 "raise cfg.level_caps_margin or MAX_POINTS_NUM")
-                        q.put(_pack(batch))
+                        p = _pack_with_policy(batch)
+                        if p is not None:
+                            q.put(p)
                         batch = []
                     batch.append(item)
                     if len(batch) == self.batch_size:
-                        q.put(_pack(batch))
+                        p = _pack_with_policy(batch)
+                        if p is not None:
+                            q.put(p)
                         batch = []
                 if batch and not self.drop_last:
-                    q.put(_pack(batch))
+                    p = _pack_with_policy(batch)
+                    if p is not None:
+                        q.put(p)
             except BaseException as e:  # propagate into the consumer
                 q.put(e)
                 return

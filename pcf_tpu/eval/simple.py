@@ -42,6 +42,17 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     logger = get_logger(eval_dir)
 
     dataset = ScanNetDataset(cfg, split=split, seed=cfg.manual_seed)
+    if cfg.get("window_gather") and not cfg.get("window_sizes"):
+        # derive window sizes exactly the way getdataLoaders does at train
+        # time — never rely silently on the built-in defaults for a dataset
+        # they were not measured on (ADVICE r1)
+        from pcf_tpu.data.scannet import estimate_window_sizes
+
+        cfg.window_sizes = estimate_window_sizes(
+            [dataset], sample=cfg.get("level_caps_sample", 16),
+            margin=cfg.get("window_margin", 1.3),
+            tile=cfg.get("window_tile", 128), seed=cfg.manual_seed)
+        logger.info(f"derived window_sizes {tuple(cfg.window_sizes)}")
     model = PointConvFormer_Segmentation(cfg)
 
     @jax.jit
@@ -61,11 +72,21 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     n = len(dataset) if max_scenes is None else min(max_scenes, len(dataset))
     for idx in range(n):
         item = dataset[idx]
-        batch = pack_scenes([item], bucket_multiple=cfg.bucket_multiple,
-                            ignore_label=cfg.ignore_label,
-                            window_tile=(cfg.get("window_tile", 128)
-                                         if cfg.get("window_gather") else None),
-                            window_sizes=cfg.get("window_sizes"))
+        from pcf_tpu.ops.window import WindowOverflow
+
+        def _pack(window_tile):
+            return pack_scenes([item], bucket_multiple=cfg.bucket_multiple,
+                               ignore_label=cfg.ignore_label,
+                               window_tile=window_tile,
+                               window_sizes=cfg.get("window_sizes"))
+
+        try:
+            batch = _pack(cfg.get("window_tile", 128)
+                          if cfg.get("window_gather") else None)
+        except WindowOverflow as e:  # rare outlier scene: degrade, not die
+            logger.warning(f"window overflow on scene {idx} ({e}); "
+                           "falling back to plain edges")
+            batch = _pack(None)
         if variables is None:
             # initialize template, then restore the checkpoint into it
             variables = jax.jit(lambda k: model.init(

@@ -199,7 +199,9 @@ class PointConv(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=cfg.get("bn_axis_name"), dtype=dtype,
-                precision=_precision_of(cfg), name="linear")(
+                precision=_precision_of(cfg),
+                min_points=cfg.get("fused_min_points", 20480),
+                min_cin=cfg.get("fused_min_cin", 64), name="linear")(
                 src_feats, nei_inds, weights,
                 additional_features=weightNetInput if cfg.USE_PE else None,
                 mask=out_mask, train=train)
@@ -289,7 +291,8 @@ class PointConvStridePE(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                dtype=dtype, name="linear")(
+                dtype=dtype, min_points=cfg.get("fused_min_points", 20480),
+                min_cin=cfg.get("fused_min_cin", 64), name="linear")(
                 src_feats_x, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:
@@ -425,7 +428,8 @@ class PCFLayer(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel // 2, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                dtype=dtype, name="linear")(
+                dtype=dtype, min_points=cfg.get("fused_min_points", 20480),
+                min_cin=cfg.get("fused_min_cin", 64), name="linear")(
                 src_feats_x, nei_inds, weights, guidance=guidance_score,
                 mask=out_mask, train=train)
         else:
@@ -520,7 +524,8 @@ class PointConvTransposePE(nn.Module):
             new_feat = FusedConvLinear(
                 self.out_channel, use_bn=cfg.BATCH_NORM,
                 axis_name=axis_name, precision=_precision_of(cfg),
-                dtype=dtype, name="linear")(
+                dtype=dtype, min_points=cfg.get("fused_min_points", 20480),
+                min_cin=cfg.get("fused_min_cin", 64), name="linear")(
                 src_feats, nei_inds, weights, additional_features=feat_pe,
                 mask=out_mask, train=train)
         else:

@@ -27,13 +27,14 @@ class _WeightNetCore(nn.Module):
     use_bn: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    bn_momentum: float = 0.1
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
         dims = list(self.hidden_unit) + [self.out_channel]
         for i, d in enumerate(dims):
             x = LinearBN(d, use_bn=self.use_bn, axis_name=self.axis_name,
-                         dtype=self.dtype,
+                         dtype=self.dtype, bn_momentum=self.bn_momentum,
                          name=f"mlp_convs_{i}")(x, mask=mask, train=train)
             x = nn.relu(x)
         return x
@@ -55,7 +56,17 @@ class WeightNet(nn.Module):
         core = _WeightNetCore if not self.efficient else nn.remat(
             _WeightNetCore, static_argnums=(3,), prevent_cse=False
         )
+        # Training-dynamics parity quirk: the reference's checkpointed
+        # WeightNet (efficient=True, always) runs its BN forward TWICE per
+        # training step — once in CheckpointFunction.forward (stats update
+        # under no_grad) and once in the backward recompute
+        # (util/checkpoint.py:29-46; verified num_batches_tracked += 2) —
+        # so running stats are EMA-updated twice on the SAME batch stats.
+        # nn.remat updates once; the equivalent single update uses momentum
+        # 1-(1-m)^2 (= 0.19 at torch's default 0.1).
+        m = 0.1
+        bn_momentum = 1.0 - (1.0 - m) ** 2 if self.efficient else m
         return core(
             self.out_channel, hidden, self.use_bn, self.axis_name, self.dtype,
-            name="core"
+            bn_momentum, name="core"
         )(localized_xyz, mask, train)

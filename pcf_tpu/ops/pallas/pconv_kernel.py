@@ -250,20 +250,295 @@ def _pconv_pe_linear_bwd(interpret, res, g):
 _pconv_pe_linear.defvjp(_pconv_pe_linear_fwd, _pconv_pe_linear_bwd)
 
 
+# --- windowed variants: in-kernel gather resolve ---------------------------
+#
+# The round-1 design left the two big optimizations mutually exclusive: the
+# windowed dedup gather (ops/window.py) resolved edges in its OWN kernel,
+# materializing [M, K, C] to HBM, which the separate fused conv+linear kernel
+# then re-read (or, worse, the fused path unwrapped to plain edges and paid
+# the full M*K-row gather). Here the window resolve happens INSIDE the
+# contraction kernel: XLA gathers only the T*Wsz deduplicated window rows
+# (~2.7x fewer HBM row transactions than M*K at the flagship geometry), the
+# kernel one-hot-resolves the edges from the VMEM-resident window and
+# contracts in place — the TPU answer to the reference CUDA kernel's
+# in-kernel per-thread gather (pconv_ops.cu:621-646,950-1269), where the
+# gathered neighborhood exists only in scratch memory.
+
+def _pad128(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _make_windowed_kernel(K: int, n_repeat: int, has_guid: bool, P: int,
+                          interpret: bool):
+    """Blocks per grid step (G window tiles of Mt points each):
+      win [G, Wsz, C]   XLA-gathered dedup window rows (the only feature
+                        HBM traffic), loc [G, 1, Mt*K] window positions,
+      guid [G*Mt, K, H] | add [G*Mt, K, P] (optional), v [G*Mt, K, W],
+      lw [W, C+P, O], lb [1, O] -> out [G*Mt, O];
+    plus a [G, Mt*K, C] f32 VMEM scratch holding the resolved gather."""
+
+    def kernel(win_ref, loc_ref, *rest):
+        if has_guid:
+            extra_ref, v_ref, lw_ref, lb_ref, out_ref, gath_ref = rest
+        elif P:
+            extra_ref, v_ref, lw_ref, lb_ref, out_ref, gath_ref = rest
+        else:
+            v_ref, lw_ref, lb_ref, out_ref, gath_ref = rest
+            extra_ref = None
+        G, Wsz, C = win_ref.shape
+        MtK = loc_ref.shape[-1]
+        Mt = MtK // K
+        # chunk the edge dim so the [Wsz, chunk] one-hot stays ~1MB (see
+        # window.py _fwd_kernel for the lane-major layout rationale)
+        chunk = min(MtK, max(128, (2 ** 19 // max(Wsz, 1)) // 128 * 128))
+        while MtK % chunk:
+            chunk -= 128
+        n_chunks = MtK // chunk
+        iota = lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
+
+        def resolve(i, _):
+            g = i // n_chunks
+            e = (i % n_chunks) * chunk
+            win = win_ref[g]                            # [Wsz, C]
+            lc = loc_ref[g, :, pl.dslice(e, chunk)]     # [1, chunk]
+            onehot = (iota == lc).astype(win.dtype)     # [Wsz, chunk]
+            gath_ref[g, pl.dslice(e, chunk)] = lax.dot_general(
+                onehot, win, (((0,), (0,)), ((), ())),  # one-hot^T @ win
+                preferred_element_type=jnp.float32)
+            return ()
+
+        lax.fori_loop(0, G * n_chunks, resolve, ())
+
+        lw = lw_ref[...].astype(jnp.float32)
+        lb = lb_ref[...].astype(jnp.float32)
+
+        def tile(g, _):
+            rows = pl.dslice(g * Mt, Mt)
+            # sublane-dim split (lanes untouched): layout-preserving
+            gath = gath_ref[g].reshape(Mt, K, C)
+            v = v_ref[rows].astype(jnp.float32)
+            if has_guid:
+                guid = extra_ref[rows].astype(jnp.float32)
+                if guid.shape[-1] == 1 or n_repeat <= 1:
+                    gf = guid
+                elif interpret:
+                    gf = jnp.concatenate([guid] * n_repeat, axis=-1)
+                else:
+                    gf = pltpu.repeat(guid, n_repeat, axis=2)
+                gath = gath * gf
+            elif P:
+                gath = jnp.concatenate(
+                    [gath, extra_ref[rows].astype(jnp.float32)], axis=-1)
+            out_ref[rows] = _contract_and_project(gath, v, lw, lb).astype(
+                out_ref.dtype)
+            return ()
+
+        lax.fori_loop(0, G, tile, ())
+
+    return kernel
+
+
+def _run_fused_windowed(windows, localT, guidance, add, weights, linear_w,
+                        linear_b, K, interpret):
+    T, Wsz, C = windows.shape
+    MtK = localT.shape[-1]
+    Mt = MtK // K
+    M = T * Mt
+    W = weights.shape[-1]
+    O = linear_w.shape[-1]
+    H = guidance.shape[-1] if guidance is not None else 0
+    P = add.shape[-1] if add is not None else 0
+    Ct = C + P
+    isz = windows.dtype.itemsize
+    cp = _pad128(C)
+    # per-window-tile VMEM: double-buffered win/loc/guid-or-add/v blocks,
+    # the f32 resolve scratch, and ~3 tile-working copies in the body
+    per_tile = (2 * Wsz * cp * isz + 2 * MtK * 4
+                + 2 * Mt * K * 128 * isz * (2 if (H or P) else 1)
+                + MtK * cp * 4 + 3 * Mt * K * _pad128(Ct) * 4)
+    budget = 10 * 2 ** 20 - 4 * (W * _pad128(Ct) * O + Wsz * 1024)
+    G = min(8, max(1, budget // max(per_tile, 1)))
+    while T % G:
+        G -= 1
+
+    grid = (T // G,)
+    in_specs = [
+        pl.BlockSpec((G, Wsz, C), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((G, 1, MtK), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [windows, localT]
+    if guidance is not None:
+        in_specs.append(pl.BlockSpec((G * Mt, K, H), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(guidance)
+    elif P:
+        in_specs.append(pl.BlockSpec((G * Mt, K, P), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(add)
+    in_specs += [
+        pl.BlockSpec((G * Mt, K, W), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((W, Ct, O), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, O), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands += [weights, linear_w.reshape(Ct, W, O).transpose(1, 0, 2),
+                 linear_b.reshape(1, O)]
+
+    kernel = _make_windowed_kernel(K, (C // H) if H else 1,
+                                   guidance is not None, P, interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((G * Mt, O), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, O), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, MtK, C), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * MtK * Wsz * C + 2 * M * K * Ct * W
+            + 2 * M * Ct * W * O,
+            bytes_accessed=T * Wsz * C * isz + M * K * (W + H + P) * isz
+            + M * O * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+
+def windowed_fusable(edges, K: int | None = None) -> bool:
+    """Can the fused kernel resolve these WindowedEdges in VMEM? Needs the
+    in-kernel [Mt*K, C] -> [Mt, K, C] sublane split 8-aligned and the edge
+    dim 128-chunkable (both hold for the production tile=128, K=16)."""
+    from pcf_tpu.ops.window import WindowedEdges
+
+    if not isinstance(edges, WindowedEdges):
+        return False
+    K = edges.nei.shape[1] if K is None else K
+    MtK = edges.localT.shape[-1]
+    return K % 8 == 0 and MtK % 128 == 0
+
+
+def _ref_pcf_win(mk, interpret, feats, window_rows, localT, guidance,
+                 weights, linear_w, linear_b):
+    from pcf_tpu.ops.window import _windowed_take
+
+    gathered = _windowed_take(mk, interpret, feats, window_rows, localT)
+    gathered = guided_contraction(gathered, guidance)
+    out = pconv(gathered, weights, precision=None)
+    return jnp.matmul(out, linear_w) + linear_b
+
+
+def _ref_pconv_pe_win(mk, interpret, feats, window_rows, localT, add,
+                      weights, linear_w, linear_b):
+    from pcf_tpu.ops.window import _windowed_take
+
+    gathered = _windowed_take(mk, interpret, feats, window_rows, localT)
+    gathered = jnp.concatenate([gathered, add], axis=-1)
+    out = pconv(gathered, weights, precision=None)
+    return jnp.matmul(out, linear_w) + linear_b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pcf_linear_win(mk, interpret, feats, window_rows, localT, guidance,
+                    weights, linear_w, linear_b):
+    windows = jnp.take(feats, window_rows, axis=0, mode="clip")  # [T, Wsz, C]
+    return _run_fused_windowed(windows, localT, guidance, None, weights,
+                               linear_w, linear_b, mk[1], interpret)
+
+
+def _pcf_linear_win_fwd(mk, interpret, feats, window_rows, localT, guidance,
+                        weights, linear_w, linear_b):
+    out = _pcf_linear_win(mk, interpret, feats, window_rows, localT, guidance,
+                          weights, linear_w, linear_b)
+    return out, (feats, window_rows, localT, guidance, weights, linear_w,
+                 linear_b)
+
+
+def _pcf_linear_win_bwd(mk, interpret, res, g):
+    # backward = VJP of the windowed XLA reference path: the window-resolve
+    # transpose (window.py _bwd_kernel) + the T*Wsz-row scatter — the same
+    # measured-3x-cheaper training scatter the standalone windowed path uses
+    feats, window_rows, localT, guidance, weights, linear_w, linear_b = res
+    _, vjp = jax.vjp(
+        lambda f, gd, w, lw, lb: _ref_pcf_win(
+            mk, interpret, f, window_rows, localT, gd, w, lw, lb),
+        feats, guidance, weights, linear_w, linear_b)
+    d_feats, d_guid, d_w, d_lw, d_lb = vjp(g)
+    return d_feats, None, None, d_guid, d_w, d_lw, d_lb
+
+
+_pcf_linear_win.defvjp(_pcf_linear_win_fwd, _pcf_linear_win_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pconv_pe_linear_win(mk, interpret, feats, window_rows, localT, add,
+                         weights, linear_w, linear_b):
+    windows = jnp.take(feats, window_rows, axis=0, mode="clip")
+    return _run_fused_windowed(windows, localT, None,
+                               add if add.shape[-1] else None, weights,
+                               linear_w, linear_b, mk[1], interpret)
+
+
+def _pconv_pe_linear_win_fwd(mk, interpret, feats, window_rows, localT, add,
+                             weights, linear_w, linear_b):
+    out = _pconv_pe_linear_win(mk, interpret, feats, window_rows, localT, add,
+                               weights, linear_w, linear_b)
+    return out, (feats, window_rows, localT, add, weights, linear_w, linear_b)
+
+
+def _pconv_pe_linear_win_bwd(mk, interpret, res, g):
+    feats, window_rows, localT, add, weights, linear_w, linear_b = res
+    _, vjp = jax.vjp(
+        lambda f, a, w, lw, lb: _ref_pconv_pe_win(
+            mk, interpret, f, window_rows, localT, a, w, lw, lb),
+        feats, add, weights, linear_w, linear_b)
+    d_feats, d_add, d_w, d_lw, d_lb = vjp(g)
+    return d_feats, None, None, d_add, d_w, d_lw, d_lb
+
+
+_pconv_pe_linear_win.defvjp(_pconv_pe_linear_win_fwd, _pconv_pe_linear_win_bwd)
+
+
 # --- public API ------------------------------------------------------------
 
 def pcf_linear_fused(feats, nei_inds, guidance, weights, linear_w, linear_b,
                      interpret=False):
     """Fused gather + guidance + K-contraction + linear (PCF layer core).
-    Replaces pcf_cuda.pcf_forward + linear (pcf_ops.cu:26-71, layers.py:392-393)."""
-    return _pcf_linear(feats, nei_inds, guidance, weights, linear_w,
-                       linear_b, interpret)
+    Replaces pcf_cuda.pcf_forward + linear (pcf_ops.cu:26-71, layers.py:392-393).
+
+    `nei_inds` may be a WindowedEdges: the gather then touches only the
+    deduplicated window rows and resolves in-kernel (see the windowed
+    section above) — the composition of round 1's two exclusive wins."""
+    if windowed_fusable(nei_inds):
+        M, K = nei_inds.nei.shape
+        return _pcf_linear_win((M, K), interpret, feats,
+                               nei_inds.window_rows, nei_inds.localT,
+                               guidance, weights, linear_w, linear_b)
+    from pcf_tpu.ops.window import plain_edges
+
+    return _pcf_linear(feats, plain_edges(nei_inds), guidance, weights,
+                       linear_w, linear_b, interpret)
 
 
 def pconv_linear_fused(feats, nei_inds, weights, linear_w, linear_b,
                        additional_features=None, interpret=False):
     """Fused gather (+ PE concat) + K-contraction + linear (PointConv core).
-    Replaces pcf_cuda.pconv_linear_cutlass_forward (pconv_ops.cu:950-1269)."""
+    Replaces pcf_cuda.pconv_linear_cutlass_forward (pconv_ops.cu:950-1269).
+    WindowedEdges `nei_inds` run the in-kernel window resolve."""
+    if windowed_fusable(nei_inds):
+        M, K = nei_inds.nei.shape
+        if additional_features is None:
+            additional_features = jnp.zeros((M, K, 0), feats.dtype)
+        return _pconv_pe_linear_win((M, K), interpret, feats,
+                                    nei_inds.window_rows, nei_inds.localT,
+                                    additional_features, weights, linear_w,
+                                    linear_b)
+    from pcf_tpu.ops.window import plain_edges
+
+    nei_inds = plain_edges(nei_inds)
     if additional_features is None:
         # zero-width PE, like the reference's [B,N,K,0] placeholder
         # (layer_utils.py:82-84)

@@ -116,6 +116,17 @@ class WindowedEdges:
         return self.window_rows.shape[1]
 
 
+# WindowedEdges ride through jax.export'ed calling conventions (serve/export
+# writes the in_tree of each bucket signature); custom pytree nodes need an
+# explicit serialization registration. The flax.struct auxdata is empty.
+jax.export.register_pytree_node_serialization(
+    WindowedEdges,
+    serialized_name="pcf_tpu.ops.window.WindowedEdges",
+    serialize_auxdata=lambda aux: b"",
+    deserialize_auxdata=lambda b: (),
+)
+
+
 def plain_edges(edges) -> jnp.ndarray:
     """The raw [M, K] index array of either representation."""
     return edges.nei if isinstance(edges, WindowedEdges) else edges
@@ -131,6 +142,13 @@ def max_window_uniques(nei: np.ndarray, tile: int = 128) -> int:
             [nei, np.zeros((Mp - M, K), nei.dtype)], axis=0)
     tiles = nei.reshape(Mp // tile, tile * K)
     return max(len(np.unique(t)) for t in tiles)
+
+
+class WindowOverflow(ValueError):
+    """A tile's unique-neighbor count exceeds the pinned window size (or the
+    array's shape is incompatible with tiling). Callers that must survive
+    adversarial scenes catch this and fall back to plain edges or drop the
+    scene (PackedLoader window_overflow policy, data/scannet.py)."""
 
 
 def build_windows(nei: np.ndarray, tile: int = 128, window: int | None = None,
@@ -153,7 +171,7 @@ def build_windows(nei: np.ndarray, tile: int = 128, window: int | None = None,
     window = 4 * tile if window is None else window
     if M % tile != 0 or (tile * K) % 128 != 0 or window % 128 != 0:
         if strict:
-            raise ValueError(
+            raise WindowOverflow(
                 f"windowed gather needs M ({M}) divisible by tile ({tile}), "
                 f"tile*K ({tile * K}) and window ({window}) divisible by 128")
         return None
@@ -165,7 +183,7 @@ def build_windows(nei: np.ndarray, tile: int = 128, window: int | None = None,
         uniq, inv = np.unique(tiles[t], return_inverse=True)
         if uniq.size > window:
             if strict:
-                raise ValueError(
+                raise WindowOverflow(
                     f"tile {t}: {uniq.size} unique neighbor rows exceed the "
                     f"window size {window}; raise cfg.window_size or check "
                     f"that the pipeline Morton-sorts each level")

@@ -134,6 +134,14 @@ def export_artifact(cfg, variables, out_dir: str, example_batches,
         "K_propagate": _json_safe(cfg.get("K_propagate")),
         "bucket_multiple": int(cfg.get("bucket_multiple", 8192)),
         "ignore_label": int(cfg.get("ignore_label", -100)),
+        # serving must pack with the SAME window geometry the artifact was
+        # traced with (the exported calling convention pins the WindowedEdges
+        # pytree shapes) — persist it explicitly (ADVICE r1)
+        "window": ({"tile": int(cfg.get("window_tile", 128)),
+                    "sizes": _json_safe(list(cfg.window_sizes))
+                    if cfg.get("window_sizes") else None,
+                    "size": _json_safe(cfg.get("window_size"))}
+                   if cfg.get("window_gather") else None),
         "buckets": buckets,
         "cfg": _json_safe(dict(cfg)),
     }
@@ -199,7 +207,8 @@ class ServingModel:
             feats.astype(np.float32)[uniq_idx],
             np.zeros(len(uniq_idx), np.int32), m["grid_size"],
             m["K_self"], m["K_forward"], m["K_propagate"],
-            rng=rng or np.random.default_rng(0))
+            rng=rng or np.random.default_rng(0),
+            morton=m.get("window") is not None)
         caps = [list(k) for k in self.bucket_keys]
         sizes = [len(p) for p in item["point_list"]]
         fit = [c for c in caps if all(s <= cc for s, cc in zip(sizes, c))]
@@ -207,8 +216,20 @@ class ServingModel:
             raise ValueError(
                 f"scene pyramid sizes {sizes} exceed every artifact bucket "
                 f"{caps}; re-export with a scene this large in the bucket set")
-        batch = pack_scenes([item], level_caps=min(fit),
-                            ignore_label=m["ignore_label"])
+        win = m.get("window")
+        try:
+            batch = pack_scenes([item], level_caps=min(fit),
+                                ignore_label=m["ignore_label"],
+                                window_tile=win["tile"] if win else None,
+                                window_size=win.get("size") if win else None,
+                                window_sizes=win.get("sizes") if win else None)
+        except ValueError as e:  # WindowOverflow: the traced pytree shapes
+            # are pinned, so there is no plain-edge fallback inside a
+            # windowed artifact — fail with the remedy spelled out
+            raise ValueError(
+                f"scene overflows the artifact's window sizes ({e}); "
+                "re-export with larger window_sizes or window_gather=false"
+            ) from e
         logits = np.asarray(self.predict_packed(batch), np.float32)
         z = logits[np.asarray(batch.masks[0])][inverse]
         e = np.exp(z - z.max(-1, keepdims=True))
@@ -241,12 +262,25 @@ def main():
 
     cfg = load_config(a.config, a.overrides)
     dataset = ScanNetDataset(cfg, split=a.split, seed=cfg.manual_seed)
+    if cfg.get("window_gather") and not cfg.get("window_sizes"):
+        # derive + persist window sizes exactly like the train loader, so
+        # the artifact serves the benched windowed execution strategy
+        from pcf_tpu.data.scannet import estimate_window_sizes
+
+        cfg.window_sizes = estimate_window_sizes(
+            [dataset], sample=cfg.get("level_caps_sample", 16),
+            margin=cfg.get("window_margin", 1.3),
+            tile=cfg.get("window_tile", 128), seed=cfg.manual_seed)
+        print(f"derived window_sizes {tuple(cfg.window_sizes)}")
     batches = []
     for i in range(min(a.max_scenes, len(dataset))):
-        batches.append(pack_scenes([dataset[i]],
-                                   bucket_multiple=cfg.bucket_multiple,
-                                   level_caps=cfg.get("level_caps"),
-                                   ignore_label=cfg.ignore_label))
+        batches.append(pack_scenes(
+            [dataset[i]], bucket_multiple=cfg.bucket_multiple,
+            level_caps=cfg.get("level_caps"), ignore_label=cfg.ignore_label,
+            window_tile=(cfg.get("window_tile", 128)
+                         if cfg.get("window_gather") else None),
+            window_size=cfg.get("window_size"),
+            window_sizes=cfg.get("window_sizes")))
 
     model = PointConvFormer_Segmentation(cfg)
     b = batches[0]

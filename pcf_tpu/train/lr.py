@@ -44,20 +44,42 @@ def cosine_annealing_warmup_restarts(
     warmup_steps: int = 0,
     gamma: float = 1.0,
     cycle_mult: float = 1.0,
+    max_cycles: int = 128,
 ):
-    """CosineAnnealingWarmupRestarts (util/lr.py:121-207). The trainer uses
-    cycle_mult=1.0 (train_ScanNet_DDP_WarmUP.py:271-282), so cycles have
-    constant length; only that case is supported."""
-    assert cycle_mult == 1.0, "only cycle_mult=1.0 (the trainer's setting) is supported"
+    """CosineAnnealingWarmupRestarts (util/lr.py:121-207), full generality.
+
+    The reference's step() recursion grows each cycle as
+    c_{n+1} = int((c_n - warmup) * cycle_mult) + warmup and decays the cycle
+    peak as max_lr * gamma^n. Cycle lengths depend only on static params, so
+    the boundaries are precomputed (numpy, exact int arithmetic matching the
+    torch int() casts) and the jittable schedule just searchsorts the global
+    step into its cycle. max_cycles bounds the table; 128 cycles covers any
+    real run (cycle_mult>1 grows lengths geometrically; cycle_mult=1 at
+    length>=1 gives 128 * first_cycle_steps steps minimum).
+    """
+    import numpy as np
+
+    lengths = []
+    cur = int(first_cycle_steps)
+    for _ in range(max_cycles):
+        lengths.append(cur)
+        cur = int((cur - warmup_steps) * cycle_mult) + warmup_steps
+    starts = np.concatenate([[0], np.cumsum(lengths)])  # [max_cycles+1]
+    starts_j = jnp.asarray(starts[:-1], jnp.float32)
+    lengths_j = jnp.asarray(lengths, jnp.float32)
 
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        cycle = jnp.floor(step / first_cycle_steps)
-        s = step - cycle * first_cycle_steps
+        # cycle n such that starts[n] <= step < starts[n+1]
+        cycle = jnp.sum(step >= jnp.asarray(starts[1:], jnp.float32))
+        cycle = jnp.minimum(cycle, max_cycles - 1)
+        s = step - starts_j[cycle]
+        length = lengths_j[cycle]
         cycle_max = max_lr * (gamma ** cycle)
         warm = min_lr + (cycle_max - min_lr) * s / jnp.maximum(warmup_steps, 1)
         cos = min_lr + (cycle_max - min_lr) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * (s - warmup_steps) / (first_cycle_steps - warmup_steps))
+            1.0 + jnp.cos(jnp.pi * (s - warmup_steps)
+                          / jnp.maximum(length - warmup_steps, 1))
         )
         return jnp.where(s < warmup_steps, warm, cos)
 

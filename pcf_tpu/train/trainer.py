@@ -104,10 +104,15 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
             tracing = False
         if it % cfg.print_freq == 0:
             miou = np.mean(inter_sum / np.maximum(union_sum, 1))
+            # HBM in-use/peak per print-freq — the reference logs
+            # torch.cuda.max_memory_reserved here (train_ScanNet_DDP_WarmUP.py:471)
+            from pcf_tpu.utils.memory import hbm_summary
+            mem = hbm_summary()
             logger.info(
                 f"epoch {epoch} iter {it} loss {loss_meter.val:.4f} "
                 f"(avg {loss_meter.avg:.4f}) mIoU {miou:.4f} "
-                f"{(time.time() - t0) / it:.2f}s/it")
+                f"{(time.time() - t0) / it:.2f}s/it"
+                + (f" {mem}" if mem else ""))
     if tracing:
         jax.profiler.stop_trace()
     miou = float(np.mean(inter_sum / np.maximum(union_sum, 1)))
@@ -196,6 +201,11 @@ def main(cfg):
         # pinned global level caps: identical batch shapes across the mesh
         # (stack_batches requirement) and a single XLA compilation
         cfg.setdefault("pin_level_caps", True)
+        # window overflow must not change the batch pytree structure under
+        # pinned shapes — drop the rare offending scene instead of falling
+        # back to plain edges (see PackedLoader._pack_with_policy)
+        if cfg.get("window_gather"):
+            cfg.setdefault("window_overflow", "drop")
     train_loader, val_loader, train_ds, _ = getdataLoaders(
         cfg, jax.process_index(), jax.process_count())
 

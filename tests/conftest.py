@@ -48,7 +48,8 @@ import pytest
 
 # Persistent compilation cache: layer/model tests are compile-bound on CPU;
 # cached executables make repeat CI runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/pcf_tpu_jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("PCF_JAX_CACHE", "/tmp/pcf_tpu_jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

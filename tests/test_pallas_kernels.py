@@ -102,6 +102,106 @@ def test_pconv_fused_with_pe(rng):
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4)
 
 
+def _windowed_case(rng, M=64, N=80, K=16, C=16, H=4, W=4, O=8, tile=8,
+                   window=128):
+    """A WindowedEdges case with tile-local neighbor structure (each tile's
+    edges drawn from a small row range, as Morton sorting produces)."""
+    from pcf_tpu.ops.window import build_windows
+
+    feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+    nei = np.zeros((M, K), np.int32)
+    for t in range(M // tile):
+        lo = int(rng.integers(0, max(N - window, 1)))
+        nei[t * tile:(t + 1) * tile] = rng.integers(
+            lo, min(lo + window, N), size=(tile, K))
+    edges = build_windows(nei, tile=tile, window=window)
+    guid = jnp.asarray(rng.uniform(size=(M, K, H)).astype(np.float32))
+    wts = jnp.asarray(rng.normal(size=(M, K, W)).astype(np.float32))
+    lw = jnp.asarray(rng.normal(size=(C * W, O)).astype(np.float32))
+    lb = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+    return feats, edges, guid, wts, lw, lb
+
+
+def test_pcf_fused_windowed_forward_parity(rng):
+    """WindowedEdges through the fused kernel (in-kernel window resolve) must
+    match the plain-edge XLA reference bit-for-tolerance — the composition of
+    the windowed gather and kernel fusion (VERDICT r1 #3)."""
+    from pcf_tpu.ops.pallas.pconv_kernel import windowed_fusable
+
+    feats, edges, guid, wts, lw, lb = _windowed_case(rng)
+    assert windowed_fusable(edges)
+    fused = pcf_linear_fused(feats, edges, guid, wts, lw, lb, interpret=True)
+    ref = _ref_pcf(feats, edges.nei, guid, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_pcf_fused_windowed_random_sizes(seed):
+    rng = np.random.default_rng(seed)
+    tile = int(rng.choice([8, 16]))
+    K = 128 // tile  # tile*K = 128
+    M = tile * int(rng.integers(2, 12))
+    N = int(rng.integers(M, M + 200))
+    H = int(rng.choice([1, 2, 4]))
+    C = H * int(rng.integers(1, 8))
+    feats, edges, guid, wts, lw, lb = _windowed_case(
+        rng, M=M, N=N, K=K, C=C, H=H, W=4, O=int(rng.integers(2, 32)),
+        tile=tile)
+    fused = pcf_linear_fused(feats, edges, guid, wts, lw, lb, interpret=True)
+    ref = _ref_pcf(feats, edges.nei, guid, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-3,
+                               rtol=1e-4)
+
+
+def test_pcf_fused_windowed_all_gradients(rng):
+    feats, edges, guid, wts, lw, lb = _windowed_case(rng)
+    cot = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
+
+    def loss_fused(f, gd, w, l, b):
+        return jnp.sum(
+            pcf_linear_fused(f, edges, gd, w, l, b, interpret=True) * cot)
+
+    def loss_ref(f, gd, w, l, b):
+        return jnp.sum(_ref_pcf(f, edges.nei, gd, w, l, b) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        feats, guid, wts, lw, lb)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        feats, guid, wts, lw, lb)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_pconv_fused_windowed_pe(rng):
+    """PE-concat variant through the windowed kernel, forward + feats/add
+    gradients."""
+    feats, edges, _, wts, lw0, lb = _windowed_case(rng, C=12)
+    M, K, Ca, O = 64, 16, 6, 8
+    add = jnp.asarray(rng.normal(size=(M, K, Ca)).astype(np.float32))
+    lw = jnp.asarray(rng.normal(size=((12 + Ca) * 4, O)).astype(np.float32))
+
+    fused = pconv_linear_fused(feats, edges, wts, lw, lb, add, interpret=True)
+    ref = _ref_pconv(feats, edges.nei, add, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+    cot = jnp.asarray(rng.normal(size=(M, O)).astype(np.float32))
+    gf = jax.grad(lambda f, a: jnp.sum(
+        pconv_linear_fused(f, edges, wts, lw, lb, a, interpret=True) * cot),
+        argnums=(0, 1))(feats, add)
+    gr = jax.grad(lambda f, a: jnp.sum(
+        _ref_pconv(f, edges.nei, a, wts, lw, lb) * cot),
+        argnums=(0, 1))(feats, add)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4)
+
+
+def test_pconv_fused_windowed_no_pe(rng):
+    feats, edges, _, wts, lw, lb = _windowed_case(rng)
+    fused = pconv_linear_fused(feats, edges, wts, lw, lb, interpret=True)
+    ref = _ref_pconv(feats, edges.nei, None, wts, lw, lb)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+
 def test_pconv_fused_no_pe(rng):
     M, N, K, C, W, O = 25, 40, 8, 8, 4, 6
     feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))

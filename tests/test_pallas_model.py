@@ -37,6 +37,26 @@ def batch():
     return pack_scenes([item], bucket_multiple=128)
 
 
+def _adapt(ref_tree, fused_tree):
+    """Copy LinearBN params ('c.kernel') onto the FusedConvLinear layout
+    ('kernel') so both paths run identical weights."""
+    out = {}
+    for k, v in fused_tree.items():
+        rv = ref_tree[k]
+        if isinstance(v, dict):
+            if set(v) >= {"kernel", "bias"} and "c" in rv:
+                out[k] = dict(v)
+                out[k]["kernel"] = rv["c"]["kernel"]
+                out[k]["bias"] = rv["c"]["bias"]
+                if "bn" in v:
+                    out[k]["bn"] = rv["bn"]
+            else:
+                out[k] = _adapt(rv, v)
+        else:
+            out[k] = rv
+    return out
+
+
 def test_pallas_flag_model_parity(batch):
     """Same params, fused vs XLA path: outputs must agree closely."""
     b = batch
@@ -51,28 +71,9 @@ def test_pallas_flag_model_parity(batch):
     vs_fused = model_fused.init(jax.random.PRNGKey(0), *args,
                                 masks=list(b.masks), train=False)
 
-    # param trees must be structurally compatible modulo the linear param
-    # names (LinearBN 'c.kernel' vs FusedConvLinear 'kernel'); copy across.
-    def adapt(ref_tree, fused_tree):
-        out = {}
-        for k, v in fused_tree.items():
-            rv = ref_tree[k]
-            if isinstance(v, dict):
-                if set(v) >= {"kernel", "bias"} and "c" in rv:
-                    out[k] = dict(v)
-                    out[k]["kernel"] = rv["c"]["kernel"]
-                    out[k]["bias"] = rv["c"]["bias"]
-                    if "bn" in v:
-                        out[k]["bn"] = rv["bn"]
-                else:
-                    out[k] = adapt(rv, v)
-            else:
-                out[k] = rv
-        return out
-
     import flax
-    fused_params = adapt(flax.core.unfreeze(vs_ref["params"]),
-                         flax.core.unfreeze(vs_fused["params"]))
+    fused_params = _adapt(flax.core.unfreeze(vs_ref["params"]),
+                          flax.core.unfreeze(vs_fused["params"]))
     vs_fused = {"params": fused_params, "batch_stats": vs_ref["batch_stats"]}
 
     out_ref = model_ref.apply(vs_ref, *args, masks=list(b.masks), train=False)
@@ -81,6 +82,65 @@ def test_pallas_flag_model_parity(batch):
     a, c = np.asarray(out_ref)[m], np.asarray(out_fused)[m]
     # interpret-mode Pallas on CPU is exact up to matmul association order
     np.testing.assert_allclose(a, c, atol=5e-3, rtol=1e-3)
+
+
+def test_pallas_windowed_model_parity(batch):
+    """Windowed batch + forced fused kernel (fused_min_points=0): the
+    in-kernel window resolve must reproduce the plain XLA-path outputs
+    through the whole model — the end-to-end check that round 1's two
+    exclusive optimizations now compose (VERDICT r1 #3)."""
+    from pcf_tpu.data import synthetic_scene
+    from pcf_tpu.data.pyramid import scene_to_item
+    from pcf_tpu.ops.window import WindowedEdges
+
+    coord, norm, feats, labels = synthetic_scene(250, extent=4.0,
+                                                 num_classes=5, seed=3)
+    item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
+                         rng=np.random.default_rng(3), morton=True)
+    # K=8 -> tile 16 keeps tile*K = 128; windows of 128 always hold
+    bw = pack_scenes([item], bucket_multiple=128, window_tile=16,
+                     window_size=128)
+    assert isinstance(bw.edges_self[0], WindowedEdges)
+    args_w = (bw.feats, list(bw.points), list(bw.edges_self),
+              list(bw.edges_forward), list(bw.edges_propagate), list(bw.norms))
+
+    model_ref = PointConvFormer_Segmentation(_cfg(USE_PALLAS_KERNEL=False))
+    model_fused = PointConvFormer_Segmentation(
+        _cfg(USE_PALLAS_KERNEL=True, fused_min_points=0))
+
+    vs_ref = model_ref.init(jax.random.PRNGKey(0), *args_w,
+                            masks=list(bw.masks), train=False)
+    vs_fused = model_fused.init(jax.random.PRNGKey(0), *args_w,
+                                masks=list(bw.masks), train=False)
+
+    import flax
+    fused_params = _adapt(flax.core.unfreeze(vs_ref["params"]),
+                          flax.core.unfreeze(vs_fused["params"]))
+    vs_fused = {"params": fused_params, "batch_stats": vs_ref["batch_stats"]}
+
+    out_ref = model_ref.apply(vs_ref, *args_w, masks=list(bw.masks),
+                              train=False)
+    out_fused = model_fused.apply(vs_fused, *args_w, masks=list(bw.masks),
+                                  train=False)
+    m = np.asarray(bw.masks[0])
+    np.testing.assert_allclose(np.asarray(out_ref)[m],
+                               np.asarray(out_fused)[m], atol=5e-3, rtol=1e-3)
+
+    # gradients flow through the windowed custom_vjp end to end
+    from pcf_tpu.train.loss import cross_entropy_loss
+
+    def loss_fn(p):
+        out, _ = model_fused.apply(
+            {"params": p, "batch_stats": vs_fused["batch_stats"]}, *args_w,
+            masks=list(bw.masks), train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        l, _ = cross_entropy_loss(out, bw.labels, mask=bw.masks[0])
+        return l
+
+    g = jax.grad(loss_fn)(vs_fused["params"])
+    gnorm = float(jnp.sqrt(sum(jnp.sum(x * x)
+                               for x in jax.tree_util.tree_leaves(g))))
+    assert np.isfinite(gnorm) and gnorm > 0
 
 
 def test_pallas_flag_train_step(batch):

@@ -179,6 +179,20 @@ def test_voting_eval_covers_all_points(scene_dir, tmp_path):
     assert 0.0 <= miou <= 1.0
     assert any(f.endswith(".ply") for f in os.listdir(cfg.eval_path))
 
+    # packing several chunks per forward (vote_batch, VERDICT r1 weak #5)
+    # must reproduce the one-chunk-per-forward accumulation exactly
+    probs_batched = {f: np.load(os.path.join(cfg.eval_path, f))
+                     for f in os.listdir(cfg.eval_path)
+                     if f.endswith("_probs.npy")}
+    assert probs_batched
+    cfg.eval_path = str(tmp_path / "vote_eval_single")
+    cfg.vote_batch = 1
+    miou_single = evaluate_voting(cfg, state=state, vote_num=2, max_scenes=1)
+    assert miou_single == pytest.approx(miou)
+    for f, arr in probs_batched.items():
+        np.testing.assert_allclose(
+            np.load(os.path.join(cfg.eval_path, f)), arr, atol=1e-6)
+
 
 def test_pinned_level_caps_identical_shapes(scene_dir):
     """Mesh-mode requirement (VERDICT r1 #4): with pin_level_caps, every
@@ -373,3 +387,67 @@ def test_loader_windowed_edges(scene_dir):
                 np.repeat(np.arange(T), e.tile * e.nei.shape[1]),
                 np.asarray(e.localT).reshape(-1)]
             assert np.array_equal(rows, np.asarray(e.nei).reshape(-1))
+
+
+def test_window_overflow_policies(scene_dir):
+    """An adversarial scene whose tile unique-neighbor count blows the pinned
+    window size must DEGRADE, not kill the run (VERDICT r1 #5): policy
+    'plain' re-packs the affected batch with plain edges, 'drop' removes the
+    offending scene and keeps the WindowedEdges structure (mesh-safe),
+    'raise' preserves the strict behavior."""
+    import warnings as warnings_mod
+
+    import jax.numpy as jnp
+
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+    from pcf_tpu.ops.window import WindowedEdges, WindowOverflow
+
+    class Adversarial(ScanNetDataset):
+        """Scene 0's level-0 self edges get row-scrambled: tiles then touch
+        ~tile*K unique neighbors, guaranteeing a window overflow."""
+
+        def __getitem__(self, idx):
+            item = super().__getitem__(idx)
+            if idx == 0:
+                rng = np.random.default_rng(0)
+                es = [e.copy() for e in item["nei_self_list"]]
+                es[0] = es[0][rng.permutation(es[0].shape[0])]
+                item["nei_self_list"] = es
+            return item
+
+    def make_loader(policy):
+        cfg = _cfg(scene_dir, window_gather=True, window_tile=128,
+                   window_sizes=(256, 1536, 512), window_overflow=policy,
+                   shuffle_index=False, rotate_aug=False, scale_aug=False,
+                   color_aug=False)
+        ds = Adversarial(cfg, "training", seed=0)
+        return PackedLoader(ds, batch_size=2, bucket_multiple=256,
+                            shuffle=False, drop_last=False, seed=0)
+
+    # sanity: strict mode raises (the round-1 behavior)
+    with pytest.raises(WindowOverflow):
+        with warnings_mod.catch_warnings():
+            warnings_mod.simplefilter("ignore")
+            list(make_loader("raise"))
+
+    # 'plain': every batch survives; the affected batch degrades to plain
+    # edges, the clean batch keeps its windows
+    with pytest.warns(UserWarning, match="window overflow"):
+        batches = list(make_loader("plain"))
+    assert len(batches) == 2
+    assert isinstance(batches[0].edges_self[0], jnp.ndarray)  # fell back
+    assert isinstance(batches[1].edges_self[0], WindowedEdges)
+
+    # 'drop': the offending scene is removed, structure stays windowed
+    with pytest.warns(UserWarning, match="window overflow"):
+        batches = list(make_loader("drop"))
+    assert len(batches) == 2
+    for b in batches:
+        assert isinstance(b.edges_self[0], WindowedEdges)
+    # scene 0 was dropped: batch 0 now holds only scene 1's points
+    n_valid = int(np.asarray(batches[0].masks[0]).sum())
+    ds_clean = ScanNetDataset(
+        _cfg(scene_dir, window_gather=True, shuffle_index=False,
+             rotate_aug=False, scale_aug=False, color_aug=False),
+        "training", seed=0)
+    assert n_valid == ds_clean[1]["point_list"][0].shape[0]

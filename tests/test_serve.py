@@ -74,6 +74,45 @@ def test_unknown_bucket_rejected(exported):
         serving.predict_packed(big)
 
 
+def test_windowed_artifact_roundtrip(tmp_path):
+    """window_gather artifacts must export and serve the windowed execution
+    strategy (ADVICE r1): the WindowedEdges pytree is part of the traced
+    calling convention, meta.json records the window geometry, and
+    predict_scene packs with it."""
+    from pcf_tpu.ops.window import WindowedEdges
+
+    cfg = _cfg(window_gather=True, window_tile=16, window_size=128)
+    coord, norm, feats, labels = synthetic_scene(260, extent=4.0,
+                                                 num_classes=5, seed=0)
+    item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
+                         rng=np.random.default_rng(0), morton=True)
+    b = pack_scenes([item], bucket_multiple=128, window_tile=16,
+                    window_size=128)
+    assert isinstance(b.edges_self[0], WindowedEdges)
+
+    model = PointConvFormer_Segmentation(cfg)
+    vs = model.init(jax.random.PRNGKey(0), *_batch_args(b)[:-1],
+                    masks=_batch_args(b)[-1], train=False)
+    out = str(tmp_path / "win_artifact")
+    meta = export_artifact(cfg, vs, out, [b])
+    assert meta["window"] == {"tile": 16, "sizes": None, "size": 128}
+
+    serving = ServingModel(out)
+    got = np.asarray(serving.predict_packed(b), np.float32)
+    want = np.asarray(model.apply(vs, *_batch_args(b)[:-1],
+                                  masks=_batch_args(b)[-1], train=False),
+                      np.float32)
+    mask = np.asarray(b.masks[0])
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-5, rtol=1e-5)
+
+    coord2, norm2, feats2, _ = synthetic_scene(240, extent=4.0, num_classes=5,
+                                               seed=2)
+    labels2, probs2 = serving.predict_scene(coord2, norm2, feats2,
+                                            rng=np.random.default_rng(3))
+    assert labels2.shape == (len(coord2),)
+    np.testing.assert_allclose(probs2.sum(-1), 1.0, atol=1e-4)
+
+
 def test_predict_scene_end_to_end(exported):
     _, _, _, _, out, _ = exported
     serving = ServingModel(out)

@@ -92,6 +92,36 @@ def test_cosine_warmup_restarts_schedule():
     assert float(sch(105)) == pytest.approx(0.5, abs=1e-6)
 
 
+@pytest.mark.parametrize("cycle_mult,gamma", [(1.0, 1.0), (1.0, 0.5), (2.0, 0.7)])
+def test_cosine_warmup_restarts_torch_oracle(cycle_mult, gamma):
+    """Full-generality parity vs the reference class (util/lr.py:121-207):
+    cycle_mult != 1 grows cycle lengths, gamma decays the per-cycle peak.
+    Oracle = LR the torch scheduler exposes at iteration i (i.e. after i
+    step() calls — the trainer steps per-iteration)."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from util.lr import CosineAnnealingWarmupRestarts
+
+    first, warmup = 40, 8
+    # enough steps for 3+ cycles even with cycle_mult=2 (40+72+136=248)
+    n_steps = 260
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=0.5)
+    ref = CosineAnnealingWarmupRestarts(
+        opt, first_cycle_steps=first, cycle_mult=cycle_mult, max_lr=0.5,
+        min_lr=1e-3, warmup_steps=warmup, gamma=gamma)
+    sch = lr_mod.cosine_annealing_warmup_restarts(
+        first_cycle_steps=first, max_lr=0.5, min_lr=1e-3,
+        warmup_steps=warmup, gamma=gamma, cycle_mult=cycle_mult)
+
+    for i in range(n_steps):
+        want = opt.param_groups[0]["lr"]
+        got = float(sch(i))
+        assert got == pytest.approx(want, abs=1e-6), (i, got, want)
+        ref.step()
+
+
 def test_poly_and_exp_schedules():
     p = lr_mod.poly(2.0, max_iter=99, power=1.0)
     assert float(p(0)) == pytest.approx(2.0)
