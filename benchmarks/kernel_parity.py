@@ -90,6 +90,58 @@ def main():
         print(f"{name} | fwd rel-err {err_f:.2e} grad rel-err {err_g:.2e} "
               f"{'OK' if ok else 'FAIL'}", flush=True)
 
+    # --- windowed variants: in-kernel window resolve (WindowedEdges) ------
+    from pcf_tpu.ops.window import build_windows
+
+    for M, K, C, H, W, O, tile, window in [
+        (20480, 16, 64, 8, 16, 128, 128, 512),
+        (8192, 16, 80, 8, 16, 160, 128, 768),
+        (20480, 16, 35, 0, 16, 64, 128, 512),   # PE-concat, odd C
+    ]:
+        N = M + 1500
+        feats = jnp.asarray(rng.normal(size=(N, C)).astype(np.float32))
+        nei_np = np.zeros((M, K), np.int32)
+        for t in range(M // tile):  # tile-local structure, as Morton sort gives
+            lo = int(rng.integers(0, N - window))
+            nei_np[t * tile:(t + 1) * tile] = rng.integers(
+                lo, lo + window, size=(tile, K))
+        edges = build_windows(nei_np, tile=tile, window=window)
+        nei = jnp.asarray(nei_np)
+        wts = jnp.asarray(rng.normal(size=(M, K, W)).astype(np.float32) * 0.3)
+        lw = jnp.asarray(rng.normal(size=(C * W, O)).astype(np.float32) * 0.02)
+        lb = jnp.asarray(rng.normal(size=(O,)).astype(np.float32))
+
+        if H:
+            guid = jnp.asarray(rng.uniform(size=(M, K, H)).astype(np.float32))
+            fused = jax.jit(lambda f, g, w, l, b: pcf_linear_fused(
+                f, edges, g, w, l, b))
+            ref = jax.jit(lambda f, g, w, l, b: _ref_pcf(f, nei, g, w, l, b))
+            args = (feats, guid, wts, lw, lb)
+            name = f"PCFwin M={M:<6} K={K:<3} C={C:<3} H={H} W={W} O={O}"
+        else:
+            fused = jax.jit(lambda f, w, l, b: pconv_linear_fused(
+                f, edges, w, l, b))
+            ref = jax.jit(lambda f, w, l, b: _ref_pconv_pe(
+                f, nei, jnp.zeros((M, K, 0), jnp.float32), w, l, b))
+            args = (feats, wts, lw, lb)
+            name = f"PCVwin M={M:<6} K={K:<3} C={C:<3} H=- W={W} O={O}"
+
+        out_f = np.asarray(fused(*args))
+        out_r = np.asarray(ref(*args))
+        err_f = np.abs(out_f - out_r).max() / max(np.abs(out_r).max(), 1.0)
+        gf = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(fused(*a))),
+                              argnums=tuple(range(len(args)))))(*args)
+        gr = jax.jit(jax.grad(lambda *a: jnp.sum(jnp.tanh(ref(*a))),
+                              argnums=tuple(range(len(args)))))(*args)
+        err_g = max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max()
+                  / max(np.abs(np.asarray(b)).max(), 1.0))
+            for a, b in zip(gf, gr))
+        ok = err_f < TOL_FWD and err_g < TOL_GRAD
+        failures += not ok
+        print(f"{name} | fwd rel-err {err_f:.2e} grad rel-err {err_g:.2e} "
+              f"{'OK' if ok else 'FAIL'}", flush=True)
+
     if failures:
         print(f"{failures} parity failures")
         sys.exit(1)

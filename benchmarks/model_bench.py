@@ -96,14 +96,16 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
         return metrics["loss"]
 
     t_train = time_fn(run_step, state, batch, rng, iters=10, overhead=ov)
-    # HBM high-water mark — the profile.py analog (VERDICT r1 #6). Note the
-    # peak is a process-lifetime maximum: with --pallas both, the second
-    # variant's peak includes the first's (run single variants to attribute).
-    from pcf_tpu.utils.memory import hbm_stats
-    mem = hbm_stats() or {}
+    # HBM high-water mark — the profile.py analog (VERDICT r1 #6). XLA's
+    # static memory analysis of each compiled program is the exact per-program
+    # peak (allocator stats are unavailable on proxied devices).
+    from pcf_tpu.utils.memory import compiled_memory_gib
+    mem_e = compiled_memory_gib(compiled) or {}
+    mem_t = compiled_memory_gib(step_c) or {}
     return {
-        "hbm_peak_gib": mem.get("peak_bytes_in_use", 0) / 1024**3,
-        "hbm_in_use_gib": mem.get("bytes_in_use", 0) / 1024**3,
+        "hbm_eval_gib": mem_e.get("total_gib", 0.0),
+        "hbm_train_gib": mem_t.get("total_gib", 0.0),
+        "hbm_train_temp_gib": mem_t.get("temp_gib", 0.0),
         "use_pallas": use_pallas,
         "compute_dtype": compute_dtype,
         "window_gather": window,
@@ -154,8 +156,9 @@ def main():
         name = "Pallas-fused" if r["use_pallas"] else "XLA-reference"
         name += " bf16" if r["compute_dtype"] == "bfloat16" else ""
         name += " +win" if r.get("window_gather") else ""
-        if r.get("hbm_peak_gib"):
-            mfu_t += f" | HBM peak {r['hbm_peak_gib']:.2f} GiB"
+        if r.get("hbm_train_gib"):
+            mfu_t += (f" | HBM eval {r['hbm_eval_gib']:.2f}"
+                      f" train {r['hbm_train_gib']:.2f} GiB")
         print(f"{name:>14}: eval {r['eval_ms']:7.2f} ms "
               f"{r['eval_pts_per_sec']/1e6:6.3f} Mpts/s "
               f"{r['eval_tflops']:5.2f} TFLOP/s{mfu_e} | "

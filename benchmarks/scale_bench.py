@@ -100,7 +100,7 @@ def main():
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.parallel import make_train_step
     from pcf_tpu.train.state import create_train_state, make_optimizer
-    from pcf_tpu.utils.memory import hbm_stats
+    from pcf_tpu.utils.memory import compiled_memory_gib, hbm_stats
     from pcf_tpu.utils.timing import readback_overhead, time_fn
 
     cfg, batch, level_sizes, window_sizes = build_case(
@@ -139,19 +139,23 @@ def main():
     valid = int(batch.masks[0].sum())
 
     fwd = jax.jit(lambda v, b: apply(v, b, False))
+    fwd_c = fwd.lower(variables, batch).compile()
     t_eval = time_fn(fwd, variables, batch, iters=args.iters, overhead=ov)
 
     tx, _ = make_optimizer(cfg, iter_per_epoch=100)
     state = create_train_state(variables, tx)
     step = jax.jit(make_train_step(model, tx, cfg, mesh=None))
     rng = jax.random.PRNGKey(2)
+    step_c = step.lower(state, batch, rng).compile()
 
     def run_step(s, b, r):
-        new_s, metrics = step(s, b, r)
+        new_s, metrics = step_c(s, b, r)
         return metrics["loss"]
 
     t_train = time_fn(run_step, state, batch, rng, iters=args.iters,
                       overhead=ov)
+    mem_e = compiled_memory_gib(fwd_c) or {}
+    mem_t = compiled_memory_gib(step_c) or {}
     mem = hbm_stats() or {}
     out = {
         "mode": args.mode,
@@ -165,7 +169,9 @@ def main():
         "eval_pts_per_sec": round(valid / t_eval, 1),
         "train_ms_per_micro_step": round(t_train * 1e3, 2),
         "train_pts_per_sec": round(valid / t_train, 1),
-        "hbm_peak_gib": round(mem.get("peak_bytes_in_use", 0) / 1024**3, 3),
+        "hbm_eval_gib": round(mem_e.get("total_gib", 0.0), 3),
+        "hbm_train_gib": round(mem_t.get("total_gib", 0.0), 3),
+        "hbm_train_temp_gib": round(mem_t.get("temp_gib", 0.0), 3),
         "hbm_limit_gib": round(mem.get("bytes_limit", 0) / 1024**3, 2),
     }
     print(json.dumps(out))

@@ -366,10 +366,26 @@ class PackedLoader:
                     return _pack(keep)
                 return _pack(batch, window_tile=None)
 
+        stop = threading.Event()
+
+        def _put(obj) -> bool:
+            """Bounded put that aborts when the consumer abandoned the
+            iterator — otherwise the thread blocks in q.put forever and
+            leaks (its stack plus every referenced batch)."""
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 batch = []
                 for i in self._indices():
+                    if stop.is_set():
+                        return
                     item = self.dataset[int(i)]
                     if not self._fits(batch, item):
                         # pinned caps (mesh mode): emit a short batch rather
@@ -382,33 +398,38 @@ class PackedLoader:
                                 f"{list(self.level_caps)} (sizes {sizes}); "
                                 "raise cfg.level_caps_margin or MAX_POINTS_NUM")
                         p = _pack_with_policy(batch)
-                        if p is not None:
-                            q.put(p)
+                        if p is not None and not _put(p):
+                            return
                         batch = []
                     batch.append(item)
                     if len(batch) == self.batch_size:
                         p = _pack_with_policy(batch)
-                        if p is not None:
-                            q.put(p)
+                        if p is not None and not _put(p):
+                            return
                         batch = []
                 if batch and not self.drop_last:
                     p = _pack_with_policy(batch)
-                    if p is not None:
-                        q.put(p)
+                    if p is not None and not _put(p):
+                        return
             except BaseException as e:  # propagate into the consumer
-                q.put(e)
+                _put(e)
                 return
-            q.put(SENTINEL)
+            _put(SENTINEL)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on exhaustion AND on GeneratorExit (consumer break/del):
+            # release the producer so the thread exits promptly
+            stop.set()
 
 
 def estimate_level_caps(datasets, batch_size: int, bucket_multiple: int,

@@ -40,31 +40,48 @@ from pcf_tpu.ops.gather import index_points
 from pcf_tpu.ops.pconv import guided_contraction, pconv
 
 
-def _contract_and_project(g, v, lw3, lb):
-    """[Mt,K,C] x [Mt,K,W] -> [Mt,W,C] (batched MXU matmul over points),
-    then project with W static [Mt,C] x [C,O] matmuls accumulated in VMEM.
+def _contract_and_project(g, v, lw3, lb, mm_dtype=jnp.float32):
+    """K-contraction as a VPU multiply-reduce, projection as W fat MXU
+    matmuls accumulated in VMEM.
 
-    lw3 is the linear weight pre-arranged [W, C, O] (so out[m,o] =
-    sum_{c,w} pc[m,w,c] * lw3[w,c,o], the c-major vec(A^T W) @ L of the
-    reference). Mosaic supports neither multi-dim contractions nor
-    lane-merging reshapes, hence the static W-loop of full-width matmuls.
+    out[m,o] = sum_w (sum_k v[m,k,w] * g[m,k,:]) @ lw3[w]  with lw3 the
+    linear weight pre-arranged [W, C, O] (c-major vec(A^T W) @ L of the
+    reference). The obvious batched dot_general ([C,K]x[K,W] per point)
+    feeds the 128x128 MXU with K=16-deep matmuls at ~1.5% utilization —
+    measured 36% slower at the model level than this formulation, the
+    in-kernel mirror of the XLA path's r5 contraction rewrite
+    (benchmarks/RESULTS.md). Mosaic supports neither multi-dim contractions
+    nor lane-merging reshapes, hence the static W-loop.
+
+    mm_dtype sets the MXU multiplicand dtype (f32 accumulate either way).
+    When the model runs bf16 activations the XLA path's matmuls are
+    bf16xbf16 (DEFAULT precision); an f32xf32 dot here would lower to
+    multi-pass MXU emulation — slower AND a different numeric contract
+    than the path it replaces. The VPU K-reduce stays f32 (native).
     """
     W = v.shape[-1]
-    pc = lax.dot_general(
-        v, g, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [Mt, W, C]
     acc = jnp.broadcast_to(lb, (g.shape[0], lb.shape[-1])).astype(jnp.float32)
     for w in range(W):
-        acc = acc + jnp.dot(pc[:, w, :], lw3[w],
+        # [Mt,K,1] lane-broadcast * [Mt,K,C], K-reduce on sublanes -> [Mt,C]
+        pc_w = jnp.sum(g * v[:, :, w:w + 1], axis=1)
+        acc = acc + jnp.dot(pc_w.astype(mm_dtype), lw3[w].astype(mm_dtype),
                             preferred_element_type=jnp.float32)
     return acc
+
+
+def _mm_dtype_of(*operands):
+    """bf16 multiplicands iff every traced operand is bf16 (the model's
+    compute_dtype contract); anything f32 keeps full-precision matmuls."""
+    return (jnp.bfloat16 if all(o.dtype == jnp.bfloat16 for o in operands)
+            else jnp.float32)
 
 
 def _pconv_kernel(g_ref, v_ref, lw_ref, lb_ref, out_ref):
     g = g_ref[...].astype(jnp.float32)
     v = v_ref[...].astype(jnp.float32)
     out = _contract_and_project(g, v, lw_ref[...].astype(jnp.float32),
-                                lb_ref[...].astype(jnp.float32))
+                                lb_ref[...].astype(jnp.float32),
+                                mm_dtype=_mm_dtype_of(g_ref, v_ref))
     out_ref[...] = out.astype(out_ref.dtype)
 
 
@@ -89,7 +106,8 @@ def _make_pcf_kernel(n_repeat: int, interpret: bool):
             guid_full = guid
         out = _contract_and_project(g * guid_full, v,
                                     lw_ref[...].astype(jnp.float32),
-                                    lb_ref[...].astype(jnp.float32))
+                                    lb_ref[...].astype(jnp.float32),
+                                    mm_dtype=_mm_dtype_of(g_ref, v_ref))
         out_ref[...] = out.astype(out_ref.dtype)
 
     return kernel
@@ -304,18 +322,19 @@ def _make_windowed_kernel(K: int, n_repeat: int, has_guid: bool, P: int,
             onehot = (iota == lc).astype(win.dtype)     # [Wsz, chunk]
             gath_ref[g, pl.dslice(e, chunk)] = lax.dot_general(
                 onehot, win, (((0,), (0,)), ((), ())),  # one-hot^T @ win
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32).astype(gath_ref.dtype)
             return ()
 
         lax.fori_loop(0, G * n_chunks, resolve, ())
 
         lw = lw_ref[...].astype(jnp.float32)
         lb = lb_ref[...].astype(jnp.float32)
+        mm = _mm_dtype_of(win_ref, v_ref)
 
         def tile(g, _):
             rows = pl.dslice(g * Mt, Mt)
             # sublane-dim split (lanes untouched): layout-preserving
-            gath = gath_ref[g].reshape(Mt, K, C)
+            gath = gath_ref[g].reshape(Mt, K, C).astype(jnp.float32)
             v = v_ref[rows].astype(jnp.float32)
             if has_guid:
                 guid = extra_ref[rows].astype(jnp.float32)
@@ -329,8 +348,8 @@ def _make_windowed_kernel(K: int, n_repeat: int, has_guid: bool, P: int,
             elif P:
                 gath = jnp.concatenate(
                     [gath, extra_ref[rows].astype(jnp.float32)], axis=-1)
-            out_ref[rows] = _contract_and_project(gath, v, lw, lb).astype(
-                out_ref.dtype)
+            out_ref[rows] = _contract_and_project(
+                gath, v, lw, lb, mm_dtype=mm).astype(out_ref.dtype)
             return ()
 
         lax.fori_loop(0, G, tile, ())
@@ -355,7 +374,7 @@ def _run_fused_windowed(windows, localT, guidance, add, weights, linear_w,
     # the f32 resolve scratch, and ~3 tile-working copies in the body
     per_tile = (2 * Wsz * cp * isz + 2 * MtK * 4
                 + 2 * Mt * K * 128 * isz * (2 if (H or P) else 1)
-                + MtK * cp * 4 + 3 * Mt * K * _pad128(Ct) * 4)
+                + MtK * cp * isz + 3 * Mt * K * _pad128(Ct) * 4)
     budget = 10 * 2 ** 20 - 4 * (W * _pad128(Ct) * O + Wsz * 1024)
     G = min(8, max(1, budget // max(per_tile, 1)))
     while T % G:
@@ -396,7 +415,7 @@ def _run_fused_windowed(windows, localT, guidance, add, weights, linear_w,
         out_specs=pl.BlockSpec((G * Mt, O), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, O), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((G, MtK, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((G, MtK, C), windows.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * T * MtK * Wsz * C + 2 * M * K * Ct * W
             + 2 * M * Ct * W * O,

@@ -68,6 +68,26 @@ def _post_knn_fn(cfg):
     return lambda b: prepare(b, cfg)
 
 
+def _log_static_hbm(step_fn, state, batch, rng, logger):
+    """One-shot exact HBM high-water mark of the compiled train step.
+
+    XLA preallocates a program's buffers, so the executable's own memory
+    analysis IS the peak for that program — and unlike allocator stats
+    (hbm_summary, logged per print_freq where available) it also works on
+    proxied devices. Runs after the first step so .compile() is a
+    compilation-cache hit, not a second compile."""
+    try:
+        from pcf_tpu.utils.memory import compiled_memory_gib
+        mem = compiled_memory_gib(step_fn.lower(state, batch, rng).compile())
+        if mem:
+            logger.info(
+                f"train-step HBM (static analysis): total {mem['total_gib']:.2f} "
+                f"GiB (args {mem['args_gib']:.2f} + temps {mem['temp_gib']:.2f} "
+                f"+ out {mem['output_gib']:.2f})")
+    except Exception as e:  # never let observability kill training
+        logger.info(f"static HBM analysis unavailable: {e}")
+
+
 def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
     import jax
     import jax.numpy as jnp
@@ -93,6 +113,8 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed), epoch * 100000 + it)
         state, metrics = step_fn(state, batch, rng)
+        if it == 0:
+            _log_static_hbm(step_fn, state, batch, rng, logger)
         loss_meter.update(float(metrics["loss"]))
         inter_sum += np.asarray(metrics["intersection"])
         union_sum += np.asarray(metrics["union"])

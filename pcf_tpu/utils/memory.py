@@ -43,3 +43,30 @@ def hbm_peak_gib(device=None) -> float | None:
     if not s or "peak_bytes_in_use" not in s:
         return None
     return s["peak_bytes_in_use"] / 1024 ** 3
+
+
+def compiled_memory_gib(compiled) -> dict | None:
+    """Static HBM footprint (GiB) of one compiled XLA executable.
+
+    XLA allocates a program's buffers ahead of time, so the compiled
+    executable's memory analysis IS the peak for that program — exact and
+    available even where the PJRT allocator exposes no runtime stats (e.g.
+    proxied devices, where memory_stats() returns None). `total_gib` is
+    args + outputs + temps − donated/aliased: the high-water mark while the
+    program runs, excluding anything else resident in HBM.
+    """
+    try:
+        ma = compiled.memory_analysis()
+        gib = 1024 ** 3
+        args = ma.argument_size_in_bytes
+        out = ma.output_size_in_bytes
+        temp = ma.temp_size_in_bytes
+        alias = ma.alias_size_in_bytes
+    except Exception:
+        return None
+    return {
+        "args_gib": args / gib,
+        "output_gib": out / gib,
+        "temp_gib": temp / gib,
+        "total_gib": (args + out + temp - alias) / gib,
+    }

@@ -21,6 +21,18 @@ from pcf_tpu.train.state import create_train_state, make_optimizer
 GRID = [0.4, 0.8]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop every live jitted executable before compiling the 8-device SPMD
+    step: with the full suite's ~100 compiled programs still referenced, the
+    XLA:CPU compile of this module's shard_map program segfaults
+    deterministically (reproduced 4x; both half-suites and isolated runs
+    pass, fresh persistent cache doesn't help — it's in-process compiler
+    state, not disk). Clearing jax's caches sidesteps it and costs only a
+    recompile of fixtures shared with earlier modules."""
+    jax.clear_caches()
+
+
 def _tiny_cfg():
     cfg = get_default_configs(Config(), num_level=2, base_dim=8)
     cfg = get_default_training_cfgs(cfg)
