@@ -98,6 +98,17 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
     inter_sum = np.zeros(cfg.num_classes)
     union_sum = np.zeros(cfg.num_classes)
     target_sum = np.zeros(cfg.num_classes)
+    pending: list = []  # device-side metrics awaiting host readback
+
+    def _flush():
+        nonlocal inter_sum, union_sum, target_sum
+        for m in pending:
+            loss_meter.update(float(m["loss"]))
+            inter_sum += np.asarray(m["intersection"])
+            union_sum += np.asarray(m["union"])
+            target_sum += np.asarray(m["target"])
+        pending.clear()
+
     n_dev = mesh.size if mesh is not None else 1
     t0 = time.time()
     it = 0
@@ -115,16 +126,20 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
         state, metrics = step_fn(state, batch, rng)
         if it == 0:
             _log_static_hbm(step_fn, state, batch, rng, logger)
-        loss_meter.update(float(metrics["loss"]))
-        inter_sum += np.asarray(metrics["intersection"])
-        union_sum += np.asarray(metrics["union"])
-        target_sum += np.asarray(metrics["target"])
+        # Defer metric readback: converting metrics to host floats here
+        # would SYNCHRONIZE every step, idling the chip while the (single)
+        # host CPU packs the next batch. Metrics stay device arrays (a few
+        # hundred bytes each) until a print boundary, so jax's async
+        # dispatch pipelines host packing with device compute — the analog
+        # of the reference's non-blocking CUDA streams.
+        pending.append(metrics)
         it += 1
         if tracing and it > profile_steps:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
             tracing = False
         if it % cfg.print_freq == 0:
+            _flush()
             miou = np.mean(inter_sum / np.maximum(union_sum, 1))
             # HBM in-use/peak per print-freq — the reference logs
             # torch.cuda.max_memory_reserved here (train_ScanNet_DDP_WarmUP.py:471)
@@ -137,6 +152,7 @@ def train_one_epoch(step_fn, state, loader, mesh, epoch, cfg, logger, rng_seed):
                 + (f" {mem}" if mem else ""))
     if tracing:
         jax.profiler.stop_trace()
+    _flush()
     miou = float(np.mean(inter_sum / np.maximum(union_sum, 1)))
     macc = float(np.mean(inter_sum / np.maximum(target_sum, 1)))
     allacc = float(inter_sum.sum() / max(target_sum.sum(), 1))

@@ -68,6 +68,28 @@ def test_dataset_and_loader(scene_dir):
     assert b.feats.shape[0] == b.points[0].shape[0]
 
 
+def test_abandoned_loader_releases_producer_thread(scene_dir):
+    """Breaking out of iteration must not leak the producer thread blocked
+    in q.put (observed: leaked producers survived whole test sessions)."""
+    import threading
+    import time
+
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+
+    cfg = _cfg(scene_dir)
+    ds = ScanNetDataset(cfg, "training", seed=0)
+    loader = PackedLoader(ds, batch_size=1, bucket_multiple=256, seed=0,
+                          prefetch=1, drop_last=False)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # consumer abandons mid-epoch (GeneratorExit path)
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+
+
 def test_loader_per_host_sharding(scene_dir):
     from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
 
