@@ -170,27 +170,27 @@ def validate(eval_step, state, loader, mesh, cfg, logger):
     target_sum = np.zeros(cfg.num_classes)
     n_dev = mesh.size if mesh is not None else 1
     src = _group_batches(loader, n_dev, _post_knn_fn(cfg), pad_tail=True)
+    pending = []  # device-side IoU histograms; defer readback (see train loop)
     for group, n_real in src:
         batch = stack_batches(list(group)) if mesh is not None else group[0]
         logits = eval_step(state, batch)
         if mesh is not None:
             for d in range(n_real):
                 b = group[d]
-                pred = np.asarray(logits[d]).argmax(-1)
-                i, u, t = intersection_and_union(
-                    jnp.asarray(pred), b.labels, cfg.num_classes,
-                    cfg.ignore_label, mask=b.masks[0])
-                inter_sum += np.asarray(i)
-                union_sum += np.asarray(u)
-                target_sum += np.asarray(t)
+                pred = jnp.argmax(logits[d], -1)
+                pending.append(intersection_and_union(
+                    pred, b.labels, cfg.num_classes,
+                    cfg.ignore_label, mask=b.masks[0]))
         else:
             b = group[0]
             pred = jnp.argmax(logits, -1)
-            i, u, t = intersection_and_union(
-                pred, b.labels, cfg.num_classes, cfg.ignore_label, mask=b.masks[0])
-            inter_sum += np.asarray(i)
-            union_sum += np.asarray(u)
-            target_sum += np.asarray(t)
+            pending.append(intersection_and_union(
+                pred, b.labels, cfg.num_classes, cfg.ignore_label,
+                mask=b.masks[0]))
+    for i, u, t in pending:
+        inter_sum += np.asarray(i)
+        union_sum += np.asarray(u)
+        target_sum += np.asarray(t)
     iou = inter_sum / np.maximum(union_sum, 1)
     miou = float(np.mean(iou))
     macc = float(np.mean(inter_sum / np.maximum(target_sum, 1)))

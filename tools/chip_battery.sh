@@ -17,5 +17,6 @@ run mb_win_xla    python benchmarks/model_bench.py --pallas off --window --dtype
 run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype bfloat16
 run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window
 run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window
+run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
 run bench         python bench.py
 echo "battery done" | tee -a /tmp/battery/driver.log
