@@ -161,3 +161,46 @@ def test_grad_accumulation():
     assert float(jnp.abs(up1["w"]).max()) == 0.0
     up2, os_ = tx.update(g, os_, params)
     assert float(jnp.abs(up2["w"]).max()) > 0.0
+
+
+def test_train_one_epoch_defers_and_flushes_metrics():
+    """train_one_epoch reads metrics back only at print boundaries; the
+    epoch aggregates must still cover EVERY step, including the remainder
+    after the last print_freq boundary."""
+    import logging
+
+    from pcf_tpu.train.trainer import train_one_epoch
+
+    cfg = _toy_cfg()
+    cfg.print_freq = 2  # 5 steps -> flushes at 2, 4, and the tail at epoch end
+    n_steps = 5
+    ncls = cfg.num_classes
+
+    class _Step:
+        def __init__(self):
+            self.calls = 0
+
+        def __call__(self, state, batch, rng):
+            self.calls += 1
+            metrics = {
+                "loss": jnp.float32(self.calls),
+                "intersection": jnp.ones(ncls) * self.calls,
+                "union": jnp.ones(ncls) * self.calls,
+                "target": jnp.ones(ncls) * self.calls,
+            }
+            return state, metrics
+
+        def lower(self, *a):  # static-HBM probe: pretend no analysis
+            raise RuntimeError("no lowering in the stub")
+
+    # loader yields prebuilt "batches" (train_one_epoch only forwards them)
+    loader = [object() for _ in range(n_steps)]
+    step = _Step()
+    state, loss_avg, miou, macc, allacc = train_one_epoch(
+        step, state=None, loader=loader, mesh=None, epoch=0, cfg=cfg,
+        logger=logging.getLogger("t"), rng_seed=0)
+    assert step.calls == n_steps
+    # losses 1..5 -> avg 3; histograms summed over all 5 steps -> ratios 1
+    assert loss_avg == pytest.approx(3.0)
+    assert miou == pytest.approx(1.0)
+    assert allacc == pytest.approx(1.0)
