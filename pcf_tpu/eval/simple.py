@@ -35,7 +35,6 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.train.checkpoint import CheckpointManager
     from pcf_tpu.train.metrics import intersection_and_union
-    from pcf_tpu.train.state import create_train_state, make_optimizer
 
     eval_dir = cfg.get("eval_path", "./evaluation")
     os.makedirs(eval_dir, exist_ok=True)
@@ -80,13 +79,23 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
                                window_tile=window_tile,
                                window_sizes=cfg.get("window_sizes"))
 
+        device_prep = cfg.get("post_knn") or cfg.get("device_pyramid")
         try:
+            # device-prep items carry no host edges yet, so window packing
+            # (which tiles host edge arrays) does not apply
             batch = _pack(cfg.get("window_tile", 128)
-                          if cfg.get("window_gather") else None)
+                          if cfg.get("window_gather") and not device_prep
+                          else None)
         except WindowOverflow as e:  # rare outlier scene: degrade, not die
             logger.warning(f"window overflow on scene {idx} ({e}); "
                            "falling back to plain edges")
             batch = _pack(None)
+        if device_prep:
+            # on-device pyramid/edges (the dataset shipped level 0 only) —
+            # same path as the trainer's _post_knn_fn; moves the dominant
+            # per-scene host cost (subsample + kNN) onto the chip
+            from pcf_tpu.data.post_knn import prepare as _prepare
+            batch = _prepare(batch, cfg)
         if variables is None:
             # initialize template, then restore the checkpoint into it
             variables = jax.jit(lambda k: model.init(
@@ -95,14 +104,13 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
                 list(batch.norms), masks=list(batch.masks), train=False)
             )(jax.random.PRNGKey(0))
             if pretrain_path:
-                tx, _ = make_optimizer(cfg, 1)
-                template = create_train_state(variables, tx)
-                mgr = CheckpointManager(pretrain_path)
-                restored, ep = mgr.restore(template)
-                assert ep > 0 or mgr.latest_epoch() is not None, \
+                # optimizer-independent restore: eval must not care how the
+                # checkpoint's opt_state tree was shaped
+                params, batch_stats, ep = CheckpointManager(
+                    pretrain_path).restore_eval()
+                assert params is not None, \
                     f"no checkpoint found at {pretrain_path}"
-                variables = {"params": restored.params,
-                             "batch_stats": restored.batch_stats}
+                variables = {"params": params, "batch_stats": batch_stats}
                 logger.info(f"restored checkpoint from {pretrain_path} (epoch {ep})")
 
         args = (batch.feats, list(batch.points), list(batch.edges_self),

@@ -53,7 +53,6 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.train.checkpoint import CheckpointManager
     from pcf_tpu.train.metrics import intersection_and_union
-    from pcf_tpu.train.state import create_train_state, make_optimizer
 
     eval_dir = cfg.get("eval_path", "./evaluation_voting")
     os.makedirs(eval_dir, exist_ok=True)
@@ -85,11 +84,11 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
             list(batch.edges_propagate), list(batch.norms),
             masks=list(batch.masks), train=False))(jax.random.PRNGKey(0))
         if pretrain_path:
-            tx, _ = make_optimizer(cfg, 1)
-            template = create_train_state(variables, tx)
-            restored, ep = CheckpointManager(pretrain_path).restore(template)
-            variables = {"params": restored.params,
-                         "batch_stats": restored.batch_stats}
+            # optimizer-independent restore (see CheckpointManager.restore_eval)
+            params, batch_stats, ep = CheckpointManager(
+                pretrain_path).restore_eval()
+            assert params is not None, f"no checkpoint at {pretrain_path}"
+            variables = {"params": params, "batch_stats": batch_stats}
             logger.info(f"restored {pretrain_path} (epoch {ep})")
 
     # one dataset per rotation vote (reference: test_ScanNet_voting.py:202-212)

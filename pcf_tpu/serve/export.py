@@ -258,7 +258,6 @@ def main():
     from pcf_tpu.data.scannet import ScanNetDataset
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.train.checkpoint import CheckpointManager
-    from pcf_tpu.train.state import create_train_state, make_optimizer
 
     cfg = load_config(a.config, a.overrides)
     dataset = ScanNetDataset(cfg, split=a.split, seed=cfg.manual_seed)
@@ -288,11 +287,11 @@ def main():
         k, *_batch_args(b)[:-1], masks=_batch_args(b)[-1], train=False)
     )(jax.random.PRNGKey(0))
     if a.pretrain_path:
-        tx, _ = make_optimizer(cfg, 1)
-        template = create_train_state(variables, tx)
-        restored, ep = CheckpointManager(a.pretrain_path).restore(template)
-        variables = {"params": restored.params,
-                     "batch_stats": restored.batch_stats}
+        # optimizer-independent restore (CheckpointManager.restore_eval)
+        params, batch_stats, ep = CheckpointManager(
+            a.pretrain_path).restore_eval()
+        assert params is not None, f"no checkpoint at {a.pretrain_path}"
+        variables = {"params": params, "batch_stats": batch_stats}
         print(f"restored checkpoint epoch {ep} from {a.pretrain_path}")
 
     platforms = a.platforms.split(",") if a.platforms else None

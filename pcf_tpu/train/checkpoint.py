@@ -56,6 +56,33 @@ class CheckpointManager:
         )
         return restored["state"], int(step)
 
+    def restore_eval(self, epoch: int | None = None):
+        """Restore (params, batch_stats, epoch) without an opt_state template.
+
+        Eval/serving must not depend on how the checkpoint's optimizer tree
+        was shaped (optimizer reworks change it; the torch analog reads only
+        state_dict, test_ScanNet_simple.py:117-125). Restores the raw saved
+        tree and extracts the model variables. Returns (None, None, 0) when
+        no checkpoint exists.
+        """
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None, 0
+        # Template from the checkpoint's own metadata (shape/dtype), pinned
+        # to a LOCAL device: restoring with no template would re-apply the
+        # SAVED device sharding, which fails when the checkpoint was written
+        # on a different backend (e.g. trained on TPU, evaluated on CPU).
+        path = os.path.join(self.directory, str(step), "state")
+        ck = ocp.StandardCheckpointer()
+        meta = ck.metadata(path).item_metadata
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding), meta)
+        st = ck.restore(path, template)
+        get = st.get if isinstance(st, dict) else lambda k: getattr(st, k)
+        return get("params"), get("batch_stats"), int(step)
+
     def best_epoch(self):
         return self._mgr.best_step()
 

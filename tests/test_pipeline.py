@@ -148,6 +148,16 @@ def test_train_eval_checkpoint_roundtrip(scene_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
 
+    # optimizer-independent eval restore: must work with NO optimizer
+    # template (checkpoints from older optimizer reworks stay loadable)
+    params, batch_stats, epoch = CheckpointManager(
+        str(tmp_path / "ckpt")).restore_eval()
+    assert epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert batch_stats is not None
+
     # simple eval on the val split with the trained state
     from pcf_tpu.eval.simple import evaluate
 
