@@ -268,7 +268,20 @@ def main(cfg):
     state = create_train_state(variables, tx)
 
     ckpt = CheckpointManager(os.path.join(exp_dir, "model"))
-    state, init_epoch = ckpt.restore(state)
+    try:
+        state, init_epoch = ckpt.restore(state)
+    except Exception as e:
+        # opt_state tree doesn't match (checkpoint from an older optimizer
+        # formulation): warm-start weights + BN stats with a fresh optimizer
+        # rather than refusing to train
+        params, batch_stats, init_epoch = ckpt.restore_eval()
+        if params is None:
+            raise
+        state = state.replace(params=params, batch_stats=batch_stats)
+        logger.warning(
+            f"full-state restore failed ({type(e).__name__}); warm-started "
+            f"params/batch_stats from epoch {init_epoch} with a fresh "
+            "optimizer state")
     if init_epoch:
         logger.info(f"resumed from epoch {init_epoch}")
 
