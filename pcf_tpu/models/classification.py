@@ -51,4 +51,7 @@ class PointConvFormer_Classification(nn.Module):
         x = nn.relu(x)
         if cfg.dropout_fc > 0.0:
             x = nn.Dropout(cfg.dropout_fc)(x, deterministic=not train)
-        return nn.Dense(cfg.num_classes, name="fc2")(x)
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+        return nn.Dense(cfg.num_classes, name="fc2",
+                        kernel_init=torch_linear_kernel,
+                        bias_init=torch_linear_bias(x.shape[-1]))(x)

@@ -74,5 +74,8 @@ class PointConvFormer_Segmentation(nn.Module):
         fc = nn.relu(fc)
         if cfg.dropout_fc > 0.0:
             fc = nn.Dropout(cfg.dropout_fc)(fc, deterministic=not train)
-        fc = nn.Dense(cfg.num_classes, name="fc2")(fc)
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+        fc = nn.Dense(cfg.num_classes, name="fc2",
+                      kernel_init=torch_linear_kernel,
+                      bias_init=torch_linear_bias(fc.shape[-1]))(fc)
         return fc

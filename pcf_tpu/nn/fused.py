@@ -48,9 +48,10 @@ class FusedConvLinear(nn.Module):
         if additional_features is not None:
             c_in += additional_features.shape[-1]
         in_dim = c_in * weights.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+        kernel = self.param("kernel", torch_linear_kernel,
                             (in_dim, self.out_dim))
-        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        bias = self.param("bias", torch_linear_bias(in_dim), (self.out_dim,))
 
         # The fused kernel wins only where the [M, C*W] intermediate is fat
         # enough to dominate HBM traffic; thin shapes (decoder mid_dim_back=1,

@@ -584,16 +584,23 @@ class PointTransformerLayer(nn.Module):
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
         center_xyz = sparse_xyz if sparse_xyz is not None else xyz
 
-        feats_q = nn.Dense(mid, dtype=dtype, name="linear_q")(feats)
-        feats_k = index_points(nn.Dense(mid, dtype=dtype, name="linear_k")(feats), nei_inds)
-        feats_v = index_points(nn.Dense(self.out_planes, dtype=dtype, name="linear_v")(feats), nei_inds)
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+
+        def _dense(out, name, x):
+            return nn.Dense(out, dtype=dtype, name=name,
+                            kernel_init=torch_linear_kernel,
+                            bias_init=torch_linear_bias(x.shape[-1]))(x)
+
+        feats_q = _dense(mid, "linear_q", feats)
+        feats_k = index_points(_dense(mid, "linear_k", feats), nei_inds)
+        feats_v = index_points(_dense(self.out_planes, "linear_v", feats), nei_inds)
 
         _, dxyz = _localize(xyz, nei_inds, center_xyz)
         # linear_p: Linear_BN(3,3) + ReLU + Linear(3,out) (layers.py:448-452)
         p = LinearBN(3, use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
                      name="linear_p_0")(dxyz, mask=out_mask, train=train)
         p = nn.relu(p)
-        p = nn.Dense(self.out_planes, name="linear_p_1")(p)
+        p = _dense(self.out_planes, "linear_p_1", p)
 
         if sparse_xyz is not None:
             q = index_points(feats_q, nei_inds[:, 0])  # center = nearest neighbor
@@ -609,7 +616,7 @@ class PointTransformerLayer(nn.Module):
         w = LinearBN(mid // self.share_planes, use_bn=cfg.BATCH_NORM, dtype=dtype,
                      axis_name=axis_name, name="linear_w_0")(w, mask=out_mask, train=train)
         w = nn.relu(w)
-        w = nn.Dense(self.out_planes // self.share_planes, name="linear_w_1")(w)
+        w = _dense(self.out_planes // self.share_planes, "linear_w_1", w)
         w = jax.nn.softmax(w, axis=1)
 
         c = self.out_planes

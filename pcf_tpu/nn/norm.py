@@ -107,7 +107,10 @@ class LinearBN(nn.Module):
     def __call__(
         self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = False
     ) -> jnp.ndarray:
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c")(x)
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c",
+                     kernel_init=torch_linear_kernel,
+                     bias_init=torch_linear_bias(x.shape[-1]))(x)
         if self.use_bn:
             x = MaskedBatchNorm(
                 self.out_dim,

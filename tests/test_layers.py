@@ -198,3 +198,25 @@ def test_unary_block(rng):
     vs = ub.init(jax.random.PRNGKey(0), x, None, True)
     y = ub.apply(vs, x, None, True, mutable=["batch_stats"])[0]
     assert y.shape == (20, 16)
+
+
+def test_torch_default_linear_init():
+    """Linears init like torch nn.Linear.reset_parameters (the reference
+    never overrides it): U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for kernel AND
+    bias — not flax's lecun_normal/zeros."""
+    import jax
+    import numpy as np
+
+    from pcf_tpu.nn.norm import LinearBN
+
+    fan_in, out = 96, 64
+    m = LinearBN(out, use_bn=False)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((512, fan_in)))
+    k = np.asarray(v["params"]["c"]["kernel"])
+    b = np.asarray(v["params"]["c"]["bias"])
+    bound = 1.0 / np.sqrt(fan_in)
+    assert np.abs(k).max() <= bound + 1e-6
+    assert np.abs(b).max() <= bound + 1e-6
+    # uniform, not normal/zeros: std of U(-a,a) is a/sqrt(3)
+    assert np.isclose(k.std(), bound / np.sqrt(3), rtol=0.1)
+    assert b.std() > 0
