@@ -58,7 +58,8 @@ def build_case(mode: str, n_points: int, n_scenes: int, window: bool,
                    adamw_decay=0.05, learning_rate=0.01, accum_iter=1,
                    scheduler="MultiStepWithWarmup", milestones=[100],
                    warmup_epochs=1, bucket_multiple=8192)
-    K = cfg.K_self[0] if isinstance(cfg.K_self, (list, tuple)) else cfg.K_self
+    K = cfg.get("K_self", 16)
+    K = K[0] if isinstance(K, (list, tuple)) else int(K)
 
     scenes = []
     for i in range(n_scenes):
@@ -76,6 +77,85 @@ def build_case(mode: str, n_points: int, n_scenes: int, window: bool,
     return cfg, batch, level_sizes, window_sizes
 
 
+def run_aot(args):
+    """Deviceless TPU scale proof: compile the eval forward and the full
+    train step against a v5e compile-only topology (local libtpu, no chip /
+    relay needed) and report XLA's exact static HBM analysis. Array state
+    lives on the CPU backend; only the executables target TPU."""
+    import jax
+    from jax.experimental import topologies
+
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel import make_train_step
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+    from pcf_tpu.utils.memory import compiled_memory_gib
+
+    topo = topologies.get_topology_desc("v5e:2x2", "tpu")
+    dev = topo.devices[0]
+
+    cfg, batch, level_sizes, window_sizes = build_case(
+        args.mode, args.points, args.scenes, args.window, args.extent)
+    cfg.compute_dtype = args.dtype
+    cfg.USE_PALLAS_KERNEL = args.pallas
+    cfg.window_gather = args.window
+    cfg.remat_blocks = args.remat
+    print(f"mode={args.mode} per-scene level sizes: {level_sizes}")
+    print(f"packed caps: {[int(p_.shape[0]) for p_ in batch.points]}"
+          + (f" window_sizes={window_sizes}" if window_sizes else ""))
+
+    model = PointConvFormer_Segmentation(cfg)
+
+    def apply(v, b, train, **kw):
+        return model.apply(v, b.feats, list(b.points), list(b.edges_self),
+                           list(b.edges_forward), list(b.edges_propagate),
+                           list(b.norms), masks=list(b.masks), train=train,
+                           **kw)
+
+    variables = jax.jit(
+        lambda k, b: model.init(
+            k, b.feats, list(b.points), list(b.edges_self),
+            list(b.edges_forward), list(b.edges_propagate), list(b.norms),
+            masks=list(b.masks), train=False)
+    )(jax.random.PRNGKey(0), batch)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+        variables["params"]))
+    valid = int(batch.masks[0].sum())
+
+    fwd_c = jax.jit(lambda v, b: apply(v, b, False),
+                    device=dev).lower(variables, batch).compile()
+    tx, _ = make_optimizer(cfg, iter_per_epoch=100)
+    state = create_train_state(variables, tx)
+    rng = jax.random.PRNGKey(2)
+    step_c = jax.jit(make_train_step(model, tx, cfg, mesh=None),
+                     device=dev).lower(state, batch, rng).compile()
+
+    def flops(c):
+        try:
+            ca = c.cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0))
+        except Exception:
+            return 0.0
+
+    mem_e = compiled_memory_gib(fwd_c) or {}
+    mem_t = compiled_memory_gib(step_c) or {}
+    out = {
+        "mode": args.mode, "aot": True, "target": "v5e (compile-only)",
+        "points_per_scene": args.points, "scenes": args.scenes,
+        "valid_points": valid, "n_params": n_params,
+        "compute_dtype": args.dtype, "window_gather": args.window,
+        "use_pallas": args.pallas,
+        "eval_gflops": round(flops(fwd_c) / 1e9, 1),
+        "train_gflops": round(flops(step_c) / 1e9, 1),
+        "hbm_eval_gib": round(mem_e.get("total_gib", 0.0), 3),
+        "hbm_train_gib": round(mem_t.get("total_gib", 0.0), 3),
+        "hbm_train_temp_gib": round(mem_t.get("temp_gib", 0.0), 3),
+        "hbm_limit_gib": 16.0,
+    }
+    print(json.dumps(out))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mode", choices=["2cm", "large"], default="2cm")
@@ -90,12 +170,30 @@ def main():
     p.add_argument("--window", action="store_true")
     p.add_argument("--pallas", action="store_true")
     p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--aot", action="store_true",
+                   help="deviceless TPU AOT compile (local libtpu): exact "
+                        "HBM analysis + compile proof without a chip; no "
+                        "timing. Run with JAX_PLATFORMS=cpu.")
+    p.add_argument("--remat", action="store_true",
+                   help="cfg.remat_blocks: recompute residual blocks in the "
+                        "backward (memory knob, measured speed-neutral)")
     args = p.parse_args()
+
+    import os
+
+    if args.aot:
+        os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-4")
+        os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+        os.environ.setdefault("TPU_SKIP_MDS_QUERY", "1")
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/pcf_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    if args.aot:
+        run_aot(args)
+        return
 
     from pcf_tpu.models import PointConvFormer_Segmentation
     from pcf_tpu.parallel import make_train_step
@@ -108,6 +206,7 @@ def main():
     cfg.compute_dtype = args.dtype
     cfg.USE_PALLAS_KERNEL = args.pallas
     cfg.window_gather = args.window
+    cfg.remat_blocks = args.remat
     print(f"mode={args.mode} per-scene level sizes: {level_sizes}")
     print(f"packed caps: {[int(p_.shape[0]) for p_ in batch.points]}"
           + (f" window_sizes={window_sizes}" if window_sizes else ""))
