@@ -8,8 +8,9 @@ cd /root/repo
 run() {
   name=$1; shift
   echo "=== $name: $*" | tee -a /tmp/battery/driver.log
+  t0=$SECONDS
   timeout 2700 "$@" > "/tmp/battery/$name.log" 2>&1
-  echo "=== $name exit=$?" | tee -a /tmp/battery/driver.log
+  echo "=== $name exit=$? wall=$((SECONDS-t0))s" | tee -a /tmp/battery/driver.log
 }
 
 run kparity       python benchmarks/kernel_parity.py
@@ -18,5 +19,13 @@ run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype
 run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window
 run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window
 run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
+# batched-voting speedup measurement (VERDICT r1 task 7): same checkpoint,
+# one covering-set chunk per forward (reference behavior) vs vote_batch=4
+run vote_b1 python -m pcf_tpu.eval.voting --config pcf_tpu/configs/synth_demo.yaml \
+    --pretrain_path experiments/synth_demo/model --vote_num 3 \
+    --set vote_batch=1 --set eval_path=/tmp/battery/vote_b1
+run vote_b4 python -m pcf_tpu.eval.voting --config pcf_tpu/configs/synth_demo.yaml \
+    --pretrain_path experiments/synth_demo/model --vote_num 3 \
+    --set vote_batch=4 --set eval_path=/tmp/battery/vote_b4
 run bench         python bench.py
 echo "battery done" | tee -a /tmp/battery/driver.log
