@@ -71,10 +71,21 @@ def main():
     state = create_train_state(vs, tx)
 
     out = {"target": "v5e:2x2 (compile-only)", "mesh_axes": {"data": 4}}
+    from pcf_tpu.parallel.spatial import spatial_eval_forward
+
+    spatial_batch = pack_scenes([
+        scene_to_item(*synthetic_scene(600, extent=4.0, num_classes=4,
+                                       seed=9)[:4],
+                      GRID, 8, 8, 8, rng=np.random.default_rng(9))
+    ], level_caps=[1024, 512])
+
     for name, fn, args in (
         ("train", make_train_step(model, tx, cfg, mesh=mesh),
          (state, stacked, jax.random.PRNGKey(7))),
         ("eval", make_eval_step(model, cfg, mesh=mesh), (state, stacked)),
+        ("spatial_eval",
+         jax.jit(lambda v, b: spatial_eval_forward(cfg, v, b, mesh)),
+         (vs, spatial_batch)),
     ):
         c = fn.lower(*args).compile()
         hlo = c.as_text()
