@@ -35,7 +35,37 @@ import time
 REF_A100_PTS_PER_SEC = 0.73e6  # derived; see tools/baseline_model.py
 
 
+def _relay_reachable(timeout_s: float = 5.0) -> bool:
+    """The axon TPU relay wedges hard when its listener is gone: the first
+    backend touch blocks FOREVER in PJRT client init (observed 2026-08-17,
+    multi-hour outage). Probe the relay port first so an outage produces a
+    diagnostic JSON line instead of a hung benchmark."""
+    import os
+    import socket
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not relayed (real TPU VM or CPU run): nothing to probe
+    s = socket.socket()
+    s.settimeout(timeout_s)
+    try:
+        s.connect(("127.0.0.1", 8083))
+        return True
+    except OSError:
+        return False
+    finally:
+        s.close()
+
+
 def main():
+    if not _relay_reachable():
+        print(json.dumps({
+            "metric": "eval_points_per_sec", "value": 0, "unit": "points/sec",
+            "vs_baseline": 0,
+            "error": "TPU relay unreachable (127.0.0.1:8083 refused) — "
+                     "jax.devices() would hang; see RESULTS.md round-2 note",
+        }))
+        return
+
     import jax
 
     # persistent cache so repeated driver runs skip the long first compile
