@@ -171,7 +171,9 @@ def _jax_train(cfg, mod, variables, packed, n_steps):
 
 
 @pytest.mark.parametrize("opt_name,accum", [
-    ("SGD", 1), ("SGD", 3), ("Adam", 3), ("AdamW", 2)])
+    ("SGD", 1), ("SGD", 3), ("Adam", 3), ("AdamW", 2),
+    ("AdamW", 5),  # the published 2cm/PTF2 config's exact setting
+])
 def test_accum_clip_step_parity(opt_name, accum):
     """EXACT (1e-6) parity of the optimizer/clip/accumulation/schedule
     recursion vs torch, isolated from model chaos: synthetic gradients, many
