@@ -78,6 +78,17 @@ def compute_weight(labels_list: Sequence[np.ndarray], num_class: int = 20):
     return list(1.0 / np.power(np.maximum(ratio, 1e-12), 0.5))
 
 
+class _RngProxy:
+    """Forwards Generator method calls to the owner's thread-local rng, so
+    transform objects constructed once work safely from worker threads."""
+
+    def __init__(self, owner):
+        self._owner = owner
+
+    def __getattr__(self, name):
+        return getattr(self._owner.rng, name)
+
+
 class ScanNetDataset:
     """In-memory ScanNet scene dataset with reference-parity augmentation."""
 
@@ -87,7 +98,13 @@ class ScanNetDataset:
         self.split = split
         self.rotate_deg = rotate_deg
         self.voxelize_mode = voxelize_mode
-        self.rng = np.random.default_rng(seed)
+        # thread-local RNG streams: numpy Generators are NOT thread-safe,
+        # and PackedLoader(num_workers>1) fetches scenes from a thread pool
+        # (the torch DataLoader per-worker-RNG analog). The first thread
+        # (wid 0, the single-worker path) keeps the exact legacy stream.
+        self._seed = seed
+        self._rng_local = threading.local()
+        self.epoch = 0  # advanced by PackedLoader.set_epoch
 
         train_aug = split in ("training", "trainval")
         self.rotate_aug = cfg.rotate_aug and train_aug
@@ -99,11 +116,15 @@ class ScanNetDataset:
         self.shuffle_index = cfg.shuffle_index and train_aug
         self.mix3D = cfg.mix3D and train_aug
         self.trans_std = [0.02, 0.02, 0.02]
-        self.color_transform = T.Compose([T.RandomDropColor(rng=self.rng)])
+        # transforms capture this proxy once; every method call forwards to
+        # the calling thread's own Generator
+        rng_proxy = _RngProxy(self)
+        self.color_transform = T.Compose([T.RandomDropColor(rng=rng_proxy)])
         self.noisy_points = None
         if cfg.get("noisy_points"):
             self.noisy_points = T.NoisyPoints(
-                cfg.noise_level, cfg.noise_pct, cfg.ignore_label, rng=self.rng)
+                cfg.noise_level, cfg.noise_pct, cfg.ignore_label,
+                rng=rng_proxy)
 
         if split == "training":
             files = sorted(glob.glob(cfg.train_data_path))
@@ -120,6 +141,13 @@ class ScanNetDataset:
         if cfg.USE_WEIGHT and split in ("training", "trainval"):
             cfg.weights = compute_weight([d[3] for d in self.data],
                                          cfg.get("num_classes", 20))
+
+    @property
+    def rng(self) -> np.random.Generator:
+        tl = self._rng_local
+        if not hasattr(tl, "rng"):  # direct use outside __getitem__
+            tl.rng = np.random.default_rng(self._seed)
+        return tl.rng
 
     def __len__(self):
         return len(self.data)
@@ -166,6 +194,13 @@ class ScanNetDataset:
         return coord, color, norm, label
 
     def __getitem__(self, idx):
+        # Per-(seed, epoch, index) RNG stream, installed thread-locally:
+        # every random draw of this fetch (augment, voxelize, dilated-kNN
+        # fallback) is deterministic regardless of which worker thread runs
+        # it — stronger than torch's per-worker streams, where the
+        # augmentation depends on the index->worker assignment.
+        self._rng_local.rng = np.random.default_rng(
+            (self._seed, self.epoch, int(idx)))
         coord, color, norm, label, _ = self.data[idx]
         coord = coord.copy()
         color = color.copy()
@@ -264,7 +299,8 @@ class PackedLoader:
                  bucket_multiple: int = 8192, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 level_caps: Sequence[int] | None = None):
+                 level_caps: Sequence[int] | None = None,
+                 num_workers: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket_multiple = bucket_multiple
@@ -276,9 +312,17 @@ class PackedLoader:
         self.process_count = process_count
         self.epoch = 0
         self.level_caps = level_caps
+        # the reference's DataLoader(num_workers=cfg.NUM_WORKERS) analog:
+        # N worker THREADS fetch scenes ahead in index order (pyramid
+        # builds spend most time in scipy/native kNN, which release the
+        # GIL, so threads scale on multi-core hosts without pickling)
+        if num_workers is None:
+            num_workers = int(dataset.cfg.get("NUM_WORKERS", 0) or 0)
+        self.num_workers = num_workers
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        self.dataset.epoch = epoch  # keys the per-(seed,epoch,idx) RNG
 
     def __len__(self):
         n = len(self.dataset) // self.process_count
@@ -380,13 +424,44 @@ class PackedLoader:
                     continue
             return False
 
+        def items():
+            """(index, item) stream; with num_workers > 1 scenes are fetched
+            by a thread pool ahead of consumption, in index order."""
+            idxs = [int(i) for i in self._indices()]
+            if self.num_workers <= 1:
+                for i in idxs:
+                    if stop.is_set():
+                        return
+                    yield i, self.dataset[i]
+                return
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                lookahead = max(self.num_workers * 2, self.batch_size)
+                pending: deque = deque()
+                for i in idxs[:lookahead]:
+                    pending.append((i, ex.submit(self.dataset.__getitem__, i)))
+                nxt = lookahead
+                while pending:
+                    if stop.is_set():
+                        for _, f in pending:
+                            f.cancel()
+                        return
+                    i, fut = pending.popleft()
+                    if nxt < len(idxs):
+                        pending.append(
+                            (idxs[nxt],
+                             ex.submit(self.dataset.__getitem__, idxs[nxt])))
+                        nxt += 1
+                    yield i, fut.result()
+
         def producer():
             try:
                 batch = []
-                for i in self._indices():
+                for i, item in items():
                     if stop.is_set():
                         return
-                    item = self.dataset[int(i)]
                     if not self._fits(batch, item):
                         # pinned caps (mesh mode): emit a short batch rather
                         # than overflow — every batch keeps identical static

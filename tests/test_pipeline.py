@@ -483,3 +483,25 @@ def test_window_overflow_policies(scene_dir):
              rotate_aug=False, scale_aug=False, color_aug=False),
         "training", seed=0)
     assert n_valid == ds_clean[1]["point_list"][0].shape[0]
+
+
+def test_parallel_workers_match_single(scene_dir):
+    """NUM_WORKERS>1 (thread-pool scene fetching, the torch DataLoader
+    workers analog) must yield identical batches to the single-producer
+    path when augmentation is off (validation config)."""
+    import jax
+
+    from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
+
+    cfg = _cfg(scene_dir)
+    batches = {}
+    for workers in (0, 3):
+        ds = ScanNetDataset(cfg, "validation", seed=0)
+        loader = PackedLoader(ds, 1, bucket_multiple=256, shuffle=False,
+                              drop_last=False, num_workers=workers)
+        batches[workers] = list(loader)
+    assert len(batches[0]) == len(batches[3]) == 3
+    for a, b in zip(batches[0], batches[3]):
+        for la, lb in zip(jax.tree_util.tree_leaves(a),
+                          jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
