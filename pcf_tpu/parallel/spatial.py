@@ -71,3 +71,105 @@ def spatial_eval_forward(cfg, variables, batch: PackedPyramid, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(sharded)(variables, batch)
+
+
+def _check_divisible(batch: PackedPyramid, n: int):
+    for lvl, pts in enumerate(batch.points):
+        assert pts.shape[0] % n == 0, (
+            f"level {lvl} cap {pts.shape[0]} not divisible by mesh size {n}; "
+            "pick bucket_multiple / level_caps divisible by the mesh")
+
+
+def _unwrap_windows(batch: PackedPyramid) -> PackedPyramid:
+    from pcf_tpu.ops.window import plain_edges
+
+    return batch.replace(
+        edges_self=tuple(plain_edges(e) for e in batch.edges_self),
+        edges_forward=tuple(plain_edges(e) for e in batch.edges_forward),
+        edges_propagate=tuple(plain_edges(e) for e in batch.edges_propagate))
+
+
+def make_spatial_train_step(cfg, tx, mesh: Mesh, class_weights=None):
+    """Train step with ONE batch's point dimension sharded over the mesh —
+    training on scenes too large for a single chip's HBM (no reference
+    counterpart; the DP path shards whole scenes instead).
+
+    Semantics match the single-device step exactly (up to float
+    reassociation): BN batch statistics psum over the shards (the same
+    global sums), the masked smoothed-CE numerator/denominator psum before
+    dividing, and the replicated parameters' gradients psum — XLA derives
+    the reduce_scatter/all_gather pairs from the per-layer gather
+    collectives' transposes.
+
+    Returns step_fn(state, batch, rng) -> (state, metrics); `batch` is one
+    packed pyramid WITHOUT a leading device axis (it is sharded internally).
+    """
+    import jax.numpy as jnp
+
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.parallel.mesh import _forward
+    from pcf_tpu.train.loss import cross_entropy_loss
+    from pcf_tpu.train.metrics import intersection_and_union
+    from pcf_tpu.train.state import TrainState
+
+    cfg = cfg.copy()
+    cfg.spatial_axis = AXIS
+    cfg.bn_axis_name = AXIS  # SyncBN over the point shards == global stats
+    assert cfg.get("transformer_type", "PCF") == "PCF", (
+        "spatial sharding is implemented for the PCF layer family")
+    model = PointConvFormer_Segmentation(cfg)
+    cw = (jnp.asarray(class_weights, jnp.float32)
+          if class_weights is not None else None)
+    num_classes = cfg.num_classes
+
+    def shard_step(state: TrainState, batch: PackedPyramid, rng):
+        # independent dropout streams per shard (a single-device step draws
+        # one mask over all rows; identical keys would tile one pattern)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+
+        def loss_fn(params):
+            logits, new_bs = _forward(
+                model, params, state.batch_stats, batch, cfg, True, rng)
+            loss, _ = cross_entropy_loss(
+                logits, batch.labels, mask=batch.masks[0], class_weights=cw,
+                label_smoothing=float(cfg.label_smoothing or 0.0),
+                ignore_label=cfg.ignore_label, axis_name=AXIS)
+            return loss, (logits, new_bs)
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        # loss is already the GLOBAL mean (psum'ed num/den), so each shard's
+        # grad is a partial contribution of the same global objective: sum.
+        grads = jax.lax.psum(grads, AXIS)
+
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+
+        pred = jnp.argmax(logits, axis=-1)
+        inter, union, target = intersection_and_union(
+            pred, batch.labels, num_classes, cfg.ignore_label,
+            mask=batch.masks[0])
+        metrics = {
+            "loss": loss,
+            "intersection": jax.lax.psum(inter, AXIS),
+            "union": jax.lax.psum(union, AXIS),
+            "target": jax.lax.psum(target, AXIS),
+        }
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        return new_state, metrics
+
+    def step(state, batch, rng):
+        _check_divisible(batch, mesh.size)
+        batch = _unwrap_windows(batch)
+        batch_spec = jax.tree_util.tree_map(lambda _: P(AXIS), batch)
+        sharded = jax.shard_map(
+            shard_step, mesh=mesh,
+            in_specs=(P(), batch_spec, P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded)(state, batch, rng)
+
+    return step

@@ -20,8 +20,14 @@ def cross_entropy_loss(
     class_weights: jnp.ndarray | None = None,  # [C]
     label_smoothing: float = 0.0,
     ignore_label: int = -100,
+    axis_name: str | None = None,
 ):
-    """Returns (scalar loss, valid_count). Safe under ignore-everything batches."""
+    """Returns (scalar loss, valid_count). Safe under ignore-everything batches.
+
+    axis_name: psum the weighted-sum numerator AND the weight denominator
+    over that mesh axis before dividing — the globally-correct loss when the
+    point dim is sharded (parallel/spatial.py), identical to the unsharded
+    value (same sums, reassociated)."""
     num_classes = logits.shape[-1]
     valid = labels != ignore_label
     if mask is not None:
@@ -47,5 +53,11 @@ def cross_entropy_loss(
         per = per + label_smoothing * jnp.where(valid, smooth, 0.0)
 
     total_w = jnp.sum(wy)
-    loss = jnp.sum(per) / jnp.maximum(total_w, 1e-8)
-    return loss, jnp.sum(valid)
+    num = jnp.sum(per)
+    n_valid = jnp.sum(valid)
+    if axis_name is not None:
+        total_w = jax.lax.psum(total_w, axis_name)
+        num = jax.lax.psum(num, axis_name)
+        n_valid = jax.lax.psum(n_valid, axis_name)
+    loss = num / jnp.maximum(total_w, 1e-8)
+    return loss, n_valid

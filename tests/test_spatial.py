@@ -26,7 +26,8 @@ def _setup(**overrides):
                mid_dim=[4, 4, 4], grid_size=GRID, num_classes=10,
                resblocks_back=[1, 0, 0], mid_dim_back=4, USE_PE=True)
     cfg.update(overrides)
-    coord, norm, feats, labels = synthetic_scene(1200, extent=6.0, seed=4)
+    coord, norm, feats, labels = synthetic_scene(1200, extent=6.0, seed=4,
+                                                 num_classes=10)
     item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
                          rng=np.random.default_rng(0))
     batch = pack_scenes([item], level_caps=[2048, 1024, 512])
@@ -65,3 +66,41 @@ def test_spatial_rejects_indivisible_caps():
     bad = batch.replace(points=(batch.points[0][:1500],) + batch.points[1:])
     with pytest.raises(AssertionError, match="not divisible"):
         spatial_eval_forward(cfg, variables, bad, mesh)
+
+
+def test_spatial_train_step_matches_single_device():
+    """One spatially-sharded train step == the single-device step on the
+    same batch (dropout off): same loss, psum'ed IoU histograms, and
+    parameters equal up to float reassociation of the psums."""
+    from pcf_tpu.parallel import make_spatial_train_step, make_train_step
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg, model, variables, batch = _setup(
+        dropout_rate=0.0, drop_path_rate=0.0, dropout_fc=0.0,
+        learning_rate=0.05, scheduler="MultiStepWithWarmup",
+        milestones=[1000], warmup_epochs=1, optimizer="SGD",
+        label_smoothing=0.2, BATCH_NORM=True)
+    tx, _ = make_optimizer(cfg, iter_per_epoch=10)
+    state = create_train_state(variables, tx)
+    rng = jax.random.PRNGKey(3)
+
+    single = make_train_step(model, tx, cfg, mesh=None)
+    s_ref, m_ref = single(state, batch, rng)
+
+    mesh = make_mesh(8)
+    step = make_spatial_train_step(cfg, tx, mesh)
+    s_sp, m_sp = step(state, batch, rng)
+
+    assert np.isfinite(float(m_sp["loss"]))
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for k in ("intersection", "union", "target"):
+        np.testing.assert_array_equal(np.asarray(m_sp[k]),
+                                      np.asarray(m_ref[k]))
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # BN running stats psum to the same global batch statistics
+    for a, b in zip(jax.tree_util.tree_leaves(s_sp.batch_stats),
+                    jax.tree_util.tree_leaves(s_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
