@@ -101,20 +101,35 @@ def make_spatial_train_step(cfg, tx, mesh: Mesh, class_weights=None):
     the reduce_scatter/all_gather pairs from the per-layer gather
     collectives' transposes.
 
+    2-D meshes compose DP with spatial sharding: a mesh with axes
+    (data_axis, space_axis) takes a stack_batches()-stacked batch
+    ([D, ...] leaves), shards scenes over data_axis and each scene's points
+    over space_axis. The objective is then the DP convention — the MEAN over
+    scenes of each scene's (space-psum'ed) loss — with SyncBN statistics
+    psum'ed over BOTH axes, matching sync_bn under DDP.
+
     Returns step_fn(state, batch, rng) -> (state, metrics); `batch` is one
-    packed pyramid WITHOUT a leading device axis (it is sharded internally).
+    packed pyramid WITHOUT a leading device axis (1-D mesh), or a stacked
+    [D, ...] batch (2-D mesh); sharding happens internally.
     """
     import jax.numpy as jnp
 
     from pcf_tpu.models import PointConvFormer_Segmentation
-    from pcf_tpu.parallel.mesh import _forward
+    from pcf_tpu.parallel.mesh import _forward, _squeeze0
     from pcf_tpu.train.loss import cross_entropy_loss
     from pcf_tpu.train.metrics import intersection_and_union
     from pcf_tpu.train.state import TrainState
 
+    axes = tuple(mesh.axis_names)
+    assert len(axes) in (1, 2), "mesh must be (space,) or (data, space)"
+    sp_axis = axes[-1]
+    data_axis = axes[0] if len(axes) == 2 else None
+    n_space = mesh.shape[sp_axis]
+
     cfg = cfg.copy()
-    cfg.spatial_axis = AXIS
-    cfg.bn_axis_name = AXIS  # SyncBN over the point shards == global stats
+    cfg.spatial_axis = sp_axis
+    # SyncBN over every mesh axis: point shards AND (2-D) scene shards
+    cfg.bn_axis_name = axes if len(axes) > 1 else sp_axis
     assert cfg.get("transformer_type", "PCF") == "PCF", (
         "spatial sharding is implemented for the PCF layer family")
     model = PointConvFormer_Segmentation(cfg)
@@ -123,24 +138,31 @@ def make_spatial_train_step(cfg, tx, mesh: Mesh, class_weights=None):
     num_classes = cfg.num_classes
 
     def shard_step(state: TrainState, batch: PackedPyramid, rng):
+        if data_axis is not None:
+            batch = _squeeze0(batch)  # drop the per-device scene axis
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
         # independent dropout streams per shard (a single-device step draws
         # one mask over all rows; identical keys would tile one pattern)
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(AXIS))
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(sp_axis))
 
         def loss_fn(params):
             logits, new_bs = _forward(
                 model, params, state.batch_stats, batch, cfg, True, rng)
+            # per-scene global loss: psum num/den over the POINT shards only
             loss, _ = cross_entropy_loss(
                 logits, batch.labels, mask=batch.masks[0], class_weights=cw,
                 label_smoothing=float(cfg.label_smoothing or 0.0),
-                ignore_label=cfg.ignore_label, axis_name=AXIS)
+                ignore_label=cfg.ignore_label, axis_name=sp_axis)
             return loss, (logits, new_bs)
 
         (loss, (logits, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        # loss is already the GLOBAL mean (psum'ed num/den), so each shard's
-        # grad is a partial contribution of the same global objective: sum.
-        grads = jax.lax.psum(grads, AXIS)
+        # each point shard's grad is a partial contribution to its scene's
+        # global loss: SUM over space; scenes average like DP (pmean)
+        grads = jax.lax.psum(grads, sp_axis)
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            loss = jax.lax.pmean(loss, data_axis)
 
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree_util.tree_map(
@@ -152,18 +174,20 @@ def make_spatial_train_step(cfg, tx, mesh: Mesh, class_weights=None):
             mask=batch.masks[0])
         metrics = {
             "loss": loss,
-            "intersection": jax.lax.psum(inter, AXIS),
-            "union": jax.lax.psum(union, AXIS),
-            "target": jax.lax.psum(target, AXIS),
+            "intersection": jax.lax.psum(inter, axes),
+            "union": jax.lax.psum(union, axes),
+            "target": jax.lax.psum(target, axes),
         }
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_bs, opt_state=new_opt)
         return new_state, metrics
 
     def step(state, batch, rng):
-        _check_divisible(batch, mesh.size)
+        _check_divisible(
+            batch if data_axis is None else _squeeze0(batch), n_space)
         batch = _unwrap_windows(batch)
-        batch_spec = jax.tree_util.tree_map(lambda _: P(AXIS), batch)
+        leaf_spec = P(*axes) if data_axis is not None else P(sp_axis)
+        batch_spec = jax.tree_util.tree_map(lambda _: leaf_spec, batch)
         sharded = jax.shard_map(
             shard_step, mesh=mesh,
             in_specs=(P(), batch_spec, P()),

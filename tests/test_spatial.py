@@ -104,3 +104,57 @@ def test_spatial_train_step_matches_single_device():
     for a, b in zip(jax.tree_util.tree_leaves(s_sp.batch_stats),
                     jax.tree_util.tree_leaves(s_ref.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dp_x_spatial_2d_mesh_train_step():
+    """DP x spatial 2-D mesh (scenes x point-shards) == the plain 2-device
+    DP step with SyncBN on the same stacked batch: both pool BN statistics
+    globally, pmean the per-scene losses/grads, and psum the IoU
+    histograms — the 2-D step just also splits each scene's points."""
+    from jax.sharding import Mesh
+
+    from pcf_tpu.parallel import make_spatial_train_step, make_train_step
+    from pcf_tpu.parallel.mesh import stack_batches
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    over = dict(dropout_rate=0.0, drop_path_rate=0.0, dropout_fc=0.0,
+                learning_rate=0.05, scheduler="MultiStepWithWarmup",
+                milestones=[1000], warmup_epochs=1, optimizer="SGD",
+                label_smoothing=0.2, BATCH_NORM=True, sync_bn=True)
+    cfg, model, variables, b0 = _setup(**over)
+    # a second scene with the same pinned caps
+    coord, norm, feats, labels = synthetic_scene(1100, extent=6.0, seed=7,
+                                                 num_classes=10)
+    item = scene_to_item(coord, norm, feats, labels, GRID, 8, 8, 8,
+                         rng=np.random.default_rng(7))
+    b1 = pack_scenes([item], level_caps=[2048, 1024, 512])
+    stacked = stack_batches([b0, b1])
+
+    tx, _ = make_optimizer(cfg, iter_per_epoch=10)
+    state = create_train_state(variables, tx)
+    rng = jax.random.PRNGKey(3)
+
+    # reference: plain 2-device DP with SyncBN (model rebuilt with the DP
+    # bn axis so batch stats pool over the scenes, like the 2-D step's)
+    cfg_dp = cfg.copy()
+    cfg_dp.bn_axis_name = "data"
+    model_dp = PointConvFormer_Segmentation(cfg_dp)
+    dp_mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    dp_step = make_train_step(model_dp, tx, cfg_dp, mesh=dp_mesh)
+    s_ref, m_ref = dp_step(state, stacked, rng)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+    step = make_spatial_train_step(cfg, tx, mesh)
+    s2, m2 = step(state, stacked, rng)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    for k in ("intersection", "union", "target"):
+        np.testing.assert_array_equal(np.asarray(m2[k]),
+                                      np.asarray(m_ref[k]))
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.batch_stats),
+                    jax.tree_util.tree_leaves(s_ref.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
