@@ -194,6 +194,6 @@ def make_spatial_train_step(cfg, tx, mesh: Mesh, class_weights=None):
             out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(sharded)(state, batch, rng)
+        return sharded(state, batch, rng)
 
-    return step
+    return jax.jit(step)

@@ -79,6 +79,15 @@ def main():
                       GRID, 8, 8, 8, rng=np.random.default_rng(9))
     ], level_caps=[1024, 512])
 
+    from pcf_tpu.parallel import make_spatial_train_step
+
+    mesh2d = Mesh(np.array(topo.devices).reshape(2, 2), ("data", "space"))
+    stacked2 = stack_batches(
+        [pack_scenes([scene_to_item(*synthetic_scene(
+            600, extent=4.0, num_classes=4, seed=s)[:4], GRID, 8, 8, 8,
+            rng=np.random.default_rng(s))], level_caps=[1024, 512])
+         for s in (11, 12)])
+
     for name, fn, args in (
         ("train", make_train_step(model, tx, cfg, mesh=mesh),
          (state, stacked, jax.random.PRNGKey(7))),
@@ -86,6 +95,8 @@ def main():
         ("spatial_eval",
          jax.jit(lambda v, b: spatial_eval_forward(cfg, v, b, mesh)),
          (vs, spatial_batch)),
+        ("dp_x_spatial_train", make_spatial_train_step(cfg, tx, mesh2d),
+         (state, stacked2, jax.random.PRNGKey(8))),
     ):
         c = fn.lower(*args).compile()
         hlo = c.as_text()
