@@ -73,6 +73,40 @@ def spatial_eval_forward(cfg, variables, batch: PackedPyramid, mesh: Mesh):
     return jax.jit(sharded)(variables, batch)
 
 
+def make_spatial_eval_step(cfg, mesh: Mesh):
+    """Jitted eval step (state, batch) -> full logits with the point dim
+    sharded over the mesh's last axis. Compiles once; spatial_eval_forward
+    is the one-shot convenience wrapper."""
+    from pcf_tpu.models import PointConvFormer_Segmentation
+
+    sp_axis = tuple(mesh.axis_names)[-1]
+    cfg = cfg.copy()
+    cfg.spatial_axis = sp_axis
+    cfg.bn_axis_name = None  # eval: running stats, no cross-shard reduction
+    assert cfg.get("transformer_type", "PCF") == "PCF", (
+        "spatial sharding is implemented for the PCF layer family")
+    model = PointConvFormer_Segmentation(cfg)
+
+    def fwd(variables, b):
+        return model.apply(
+            variables, b.feats, list(b.points), list(b.edges_self),
+            list(b.edges_forward), list(b.edges_propagate), list(b.norms),
+            masks=list(b.masks), train=False)
+
+    def step(state, batch):
+        _check_divisible(batch, mesh.shape[sp_axis])
+        batch = _unwrap_windows(batch)
+        variables = (state if isinstance(state, dict) else
+                     {"params": state.params,
+                      "batch_stats": state.batch_stats})
+        batch_spec = jax.tree_util.tree_map(lambda _: P(sp_axis), batch)
+        return jax.shard_map(
+            fwd, mesh=mesh, in_specs=(P(), batch_spec),
+            out_specs=P(sp_axis), check_vma=False)(variables, batch)
+
+    return jax.jit(step)
+
+
 def _check_divisible(batch: PackedPyramid, n: int):
     for lvl, pts in enumerate(batch.points):
         assert pts.shape[0] % n == 0, (

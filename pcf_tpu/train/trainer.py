@@ -286,8 +286,22 @@ def main(cfg):
         logger.info(f"resumed from epoch {init_epoch}")
 
     class_weights = cfg.get("weights") if cfg.USE_WEIGHT else None
-    step_fn = make_train_step(model, tx, cfg, mesh=mesh, class_weights=class_weights)
-    eval_step = make_eval_step(model, cfg, mesh=mesh)
+    if cfg.get("spatial_train") and mesh is not None:
+        # giant-scene mode: ONE batch per step, its point dim sharded over
+        # the mesh (parallel/spatial.py) — instead of one scene per device.
+        # The loop sees mesh=None: no batch grouping/stacking; the psums
+        # live inside the sharded step.
+        from pcf_tpu.parallel import (make_spatial_eval_step,
+                                      make_spatial_train_step)
+
+        step_fn = make_spatial_train_step(cfg, tx, mesh,
+                                          class_weights=class_weights)
+        eval_step = make_spatial_eval_step(cfg, mesh)
+        mesh = None
+    else:
+        step_fn = make_train_step(model, tx, cfg, mesh=mesh,
+                                  class_weights=class_weights)
+        eval_step = make_eval_step(model, cfg, mesh=mesh)
 
     best_miou = 0.0
     for epoch in range(init_epoch, cfg.total_epoches):
