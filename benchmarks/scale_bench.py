@@ -121,13 +121,26 @@ def run_aot(args):
         variables["params"]))
     valid = int(batch.masks[0].sum())
 
-    fwd_c = jax.jit(lambda v, b: apply(v, b, False),
-                    device=dev).lower(variables, batch).compile()
     tx, _ = make_optimizer(cfg, iter_per_epoch=100)
     state = create_train_state(variables, tx)
     rng = jax.random.PRNGKey(2)
-    step_c = jax.jit(make_train_step(model, tx, cfg, mesh=None),
-                     device=dev).lower(state, batch, rng).compile()
+    if args.spatial:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from pcf_tpu.parallel import (make_spatial_eval_step,
+                                      make_spatial_train_step)
+
+        mesh = Mesh(np.array(topo.devices[:args.spatial]), ("space",))
+        fwd_c = make_spatial_eval_step(cfg, mesh).lower(
+            state, batch).compile()
+        step_c = make_spatial_train_step(cfg, tx, mesh).lower(
+            state, batch, rng).compile()
+    else:
+        fwd_c = jax.jit(lambda v, b: apply(v, b, False),
+                        device=dev).lower(variables, batch).compile()
+        step_c = jax.jit(make_train_step(model, tx, cfg, mesh=None),
+                         device=dev).lower(state, batch, rng).compile()
 
     def flops(c):
         try:
@@ -145,7 +158,7 @@ def run_aot(args):
         "points_per_scene": args.points, "scenes": args.scenes,
         "valid_points": valid, "n_params": n_params,
         "compute_dtype": args.dtype, "window_gather": args.window,
-        "use_pallas": args.pallas,
+        "use_pallas": args.pallas, "spatial_chips": args.spatial or 1,
         "eval_gflops": round(flops(fwd_c) / 1e9, 1),
         "train_gflops": round(flops(step_c) / 1e9, 1),
         "hbm_eval_gib": round(mem_e.get("total_gib", 0.0), 3),
@@ -177,6 +190,10 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="cfg.remat_blocks: recompute residual blocks in the "
                         "backward (memory knob, measured speed-neutral)")
+    p.add_argument("--spatial", type=int, default=0, metavar="N",
+                   help="(--aot only) shard the batch's point dim over an "
+                        "N-chip mesh (parallel/spatial.py) and report the "
+                        "PER-CHIP footprint of the sharded train step")
     args = p.parse_args()
 
     import os
