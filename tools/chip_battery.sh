@@ -29,3 +29,11 @@ run vote_b4 python -m pcf_tpu.eval.voting --config pcf_tpu/configs/synth_demo.ya
     --set vote_batch=4 --set eval_path=/tmp/battery/vote_b4
 run bench         python bench.py
 echo "battery done" | tee -a /tmp/battery/driver.log
+# Persist results into the repo: if no session is alive when the relay
+# recovers, the round-end snapshot still captures the measurements.
+dest=/root/repo/benchmarks/battery_results
+mkdir -p "$dest"
+cp /tmp/battery/driver.log "$dest"/
+for f in /tmp/battery/*.log; do
+  tail -c 16384 "$f" > "$dest/$(basename "$f")"
+done
