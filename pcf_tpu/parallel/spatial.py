@@ -26,51 +26,14 @@ from pcf_tpu.parallel.mesh import AXIS, Mesh
 
 
 def spatial_eval_forward(cfg, variables, batch: PackedPyramid, mesh: Mesh):
-    """Eval forward of one packed batch with the point dim sharded over mesh.
+    """One-shot eval forward with the point dim sharded over the mesh.
 
     Every per-level capacity must be divisible by mesh.size (bucketed caps
-    are powers-of-two multiples, so any power-of-two mesh works).
-    Returns the full [N0, num_classes] logits.
+    are powers-of-two multiples, so any power-of-two mesh works). Returns
+    the full [N0, num_classes] logits. For repeated calls build the step
+    once with make_spatial_eval_step.
     """
-    from pcf_tpu.models import PointConvFormer_Segmentation
-
-    n = mesh.size
-    for lvl, pts in enumerate(batch.points):
-        assert pts.shape[0] % n == 0, (
-            f"level {lvl} cap {pts.shape[0]} not divisible by mesh size {n}; "
-            "pick bucket_multiple / level_caps divisible by the mesh")
-    assert cfg.get("transformer_type", "PCF") == "PCF", (
-        "spatial sharding is implemented for the PCF layer family")
-
-    cfg = cfg.copy()
-    cfg.spatial_axis = AXIS
-    cfg.bn_axis_name = None  # eval: running stats, no cross-shard reduction
-    model = PointConvFormer_Segmentation(cfg)
-
-    # Spatial sharding runs the plain gather path: WindowedEdges tile counts
-    # need not divide the mesh, and windowed gathers under a row-sharded
-    # layout are unvalidated — unwrap to the raw [M, K] edge arrays.
-    from pcf_tpu.ops.window import plain_edges
-
-    batch = batch.replace(
-        edges_self=tuple(plain_edges(e) for e in batch.edges_self),
-        edges_forward=tuple(plain_edges(e) for e in batch.edges_forward),
-        edges_propagate=tuple(plain_edges(e) for e in batch.edges_propagate))
-
-    def fwd(vs, b):
-        return model.apply(
-            vs, b.feats, list(b.points), list(b.edges_self),
-            list(b.edges_forward), list(b.edges_propagate), list(b.norms),
-            masks=list(b.masks), train=False)
-
-    batch_spec = jax.tree_util.tree_map(lambda _: P(AXIS), batch)
-    sharded = jax.shard_map(
-        fwd, mesh=mesh,
-        in_specs=(P(), batch_spec),
-        out_specs=P(AXIS),
-        check_vma=False,
-    )
-    return jax.jit(sharded)(variables, batch)
+    return make_spatial_eval_step(cfg, mesh)(variables, batch)
 
 
 def make_spatial_eval_step(cfg, mesh: Mesh):
