@@ -135,6 +135,15 @@ class ScanNetDataset:
                 glob.glob(cfg.val_data_path))
         else:
             files = sorted(glob.glob(cfg.test_data_path))
+        if not files:
+            # an empty glob must fail loudly: a battery run on a fresh
+            # machine once scored "voting mIoU 0.0000" with exit 0 because
+            # every downstream loop simply never executed
+            raise FileNotFoundError(
+                f"no {split} scenes found (train_data_path="
+                f"{cfg.get('train_data_path')!r}, val_data_path="
+                f"{cfg.get('val_data_path')!r}) — generate data first, "
+                "e.g. tools/make_synth_dataset.py")
         self.data = [load_scene_file(f) for f in files]
         print(f"{split} examples: {len(self.data)}")
 

@@ -207,6 +207,17 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _edge_chunk(MtK: int, Wsz: int, budget: int) -> int:
+    """Edge-dim chunk so the [Wsz, chunk] one-hot + iota scratch stays small
+    (a full-MtK operand blew the 16MB scoped-vmem stack on chip). Shared by
+    the kernels and by the _plan_grid VMEM estimators, which must mirror the
+    kernels' allocation pattern exactly."""
+    chunk = min(MtK, max(128, (budget // max(Wsz, 1)) // 128 * 128))
+    while MtK % chunk:  # lane-dim slices must stay 128-aligned
+        chunk -= 128
+    return chunk
+
+
 def _fwd_kernel(win_ref, loc_ref, out_ref):
     """Resolve edges from the VMEM window by a one-hot MXU matmul.
 
@@ -217,16 +228,14 @@ def _fwd_kernel(win_ref, loc_ref, out_ref):
     variant was measured: Mosaic's tpu.dynamic_gather is single-vreg-only,
     and the [T,Wsz,C]->[T,C,Wsz] transpose it forces costs ~1 ms at L0
     scale — more than this whole kernel.)
+
+    Edge positions stay LANE-major ([1, MtK]): a sublane-major [MtK, 1]
+    block gets padded to 128 lanes by Mosaic — 8MB of VMEM for 8KB of
+    indices.
     """
     G, Wsz, C = win_ref.shape
     MtK = loc_ref.shape[-1]
-    # Chunk the edge dim so the [Wsz, chunk] one-hot + iota stay ~1MB (a
-    # full-MtK operand blew the 16MB scoped-vmem stack on chip), and keep
-    # edge positions LANE-major ([1, MtK]): a sublane-major [MtK, 1] block
-    # gets padded to 128 lanes by Mosaic — 8MB of VMEM for 8KB of indices.
-    chunk = min(MtK, max(128, (2 ** 19 // max(Wsz, 1)) // 128 * 128))
-    while MtK % chunk:  # lane-dim slices must stay 128-aligned
-        chunk -= 128
+    chunk = _edge_chunk(MtK, Wsz, 2 ** 19)
     n_chunks = MtK // chunk
     iota = jax.lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
 
@@ -247,11 +256,13 @@ def _fwd_kernel(win_ref, loc_ref, out_ref):
 
 
 def _bwd_kernel(g_ref, locT_ref, dwin_ref):
+    """Scatter cotangents into window slots via the transposed one-hot
+    matmul. g blocks arrive in their native dtype (bf16 in mixed-precision
+    training — halves the block VMEM); the one-hot products are exact
+    selections, and accumulation runs in an f32 scratch accumulator."""
     G, MtK, C = g_ref.shape
     Wsz = dwin_ref.shape[1]
-    chunk = min(MtK, max(128, (2 ** 18 // max(Wsz, 1)) // 128 * 128))
-    while MtK % chunk:  # lane-dim slices must stay 128-aligned
-        chunk -= 128
+    chunk = _edge_chunk(MtK, Wsz, 2 ** 18)
     iota = jax.lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
 
     def body(t, _):
@@ -275,16 +286,31 @@ def _pad128(c: int) -> int:
     return -(-c // 128) * 128
 
 
-def _tiles_per_step(T: int, bytes_per_tile: int,
-                    budget: int = 3 * 2 ** 20) -> int:
-    """Amortize the per-grid-step pipeline overhead (~3-5 us) over several
-    tiles while staying inside the 16MB scoped VMEM (block buffers are
-    double-buffered and Mosaic lane-pads the minor dim to 128 — callers
-    must pass PADDED byte counts)."""
-    g = min(8, max(1, budget // max(bytes_per_tile, 1)))
-    while T % g:
-        g -= 1
-    return g
+# Plan against 14 MiB of the 16 MiB scoped-VMEM limit: the estimators below
+# reproduced two on-chip OOMs to within 2% (16.0M est vs 16.33M real at 2cm
+# scale), so 12.5% headroom absorbs the model error.
+_SCOPED_VMEM_BUDGET = 14 * 2 ** 20
+
+
+def _plan_grid(T: int, C: int, est) -> tuple[int, int]:
+    """Pick (tiles/step G, feature block Cb) so block buffers + scratch fit
+    the scoped-VMEM budget.
+
+    G > 1 amortizes the per-grid-step pipeline overhead (~3-5 us) over
+    several tiles. When even a single tile at full C overflows (measured at
+    the 2cm/PTF2 and PCF_Large decoder shapes: Wsz*C windows of 2.5-4.6 MiB),
+    the feature dim is split across a second grid axis instead — each (t, c)
+    step resolves a Cb-wide slab, re-reading only the tiny localT block.
+    est(G, Cb) must mirror the kernel's allocations (double-buffered blocks,
+    lane pad to 128, sublane pad to 8)."""
+    for Cb in range(C, 0, -1):
+        if C % Cb or est(1, Cb) > _SCOPED_VMEM_BUDGET:
+            continue
+        G = min(8, T)
+        while G > 1 and (T % G or est(G, Cb) > _SCOPED_VMEM_BUDGET):
+            G -= 1
+        return G, Cb
+    return 1, 1
 
 
 def _resolve(windows, localT, out_dtype, interpret):
@@ -293,18 +319,25 @@ def _resolve(windows, localT, out_dtype, interpret):
     MtK = localT.shape[-1]
     isz = windows.dtype.itemsize
     osz = jnp.dtype(out_dtype).itemsize
-    G = _tiles_per_step(
-        T, (Wsz * isz + MtK * osz) * _pad128(C) + MtK * 4)
+    chunk = _edge_chunk(MtK, Wsz, 2 ** 19)
+
+    def est(G, Cb):
+        blocks = G * (Wsz * _pad128(Cb) * isz + MtK * _pad128(Cb) * osz
+                      + 8 * MtK * 4)
+        scratch = Wsz * chunk * (4 + isz) + chunk * _pad128(Cb) * osz
+        return 2 * blocks + scratch
+
+    G, Cb = _plan_grid(T, C, est)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(T // G,),
+        grid=(T // G, C // Cb),
         in_specs=[
-            pl.BlockSpec((G, Wsz, C), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, Wsz, Cb), lambda t, c: (t, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, MtK), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, 1, MtK), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, MtK, C), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((G, MtK, Cb), lambda t, c: (t, 0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, MtK, C), out_dtype),
         interpret=interpret,
@@ -312,23 +345,35 @@ def _resolve(windows, localT, out_dtype, interpret):
 
 
 def _scatter_to_windows(g, localT, window, interpret):
-    """[T, Mt*K, C] cotangents -> [T, Wsz, C] per-window sums (transpose)."""
+    """[T, Mt*K, C] cotangents -> [T, Wsz, C] f32 per-window sums
+    (transpose of _resolve)."""
     T, MtK, C = g.shape
-    # the [Wsz, chunk] one-hot is a single fori_loop-reused scratch slot, not
-    # a per-tile block — only block buffers scale with G
-    G = _tiles_per_step(T, (MtK + window) * _pad128(C) * 4)
+    gsz = g.dtype.itemsize
+    chunk = _edge_chunk(MtK, window, 2 ** 18)
+
+    def est(G, Cb):
+        # the [Wsz, chunk] one-hot/iota and the [Wsz, Cb] f32 accumulator are
+        # fori_loop-reused scratch slots, not per-tile blocks — only block
+        # buffers scale with G
+        blocks = G * (MtK * _pad128(Cb) * gsz + window * _pad128(Cb) * 4
+                      + 8 * MtK * 4)
+        scratch = (window * chunk * (4 + gsz) + window * _pad128(Cb) * 4
+                   + chunk * _pad128(Cb) * gsz)
+        return 2 * blocks + scratch
+
+    G, Cb = _plan_grid(T, C, est)
     return pl.pallas_call(
         _bwd_kernel,
-        grid=(T // G,),
+        grid=(T // G, C // Cb),
         in_specs=[
-            pl.BlockSpec((G, MtK, C), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, MtK, Cb), lambda t, c: (t, 0, c),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, MtK), lambda t: (t, 0, 0),
+            pl.BlockSpec((G, 1, MtK), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((G, window, C), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((G, window, Cb), lambda t, c: (t, 0, c),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, window, C), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, window, C), jnp.float32),
         interpret=interpret,
     )(g, localT)
 
@@ -352,8 +397,7 @@ def _windowed_take_bwd(out_shape, interpret, res, g):
     T, Wsz = window_rows.shape
     MtK = localT.shape[-1]
     C = g.shape[-1]
-    dwin = _scatter_to_windows(
-        g.reshape(T, MtK, C).astype(jnp.float32), localT, Wsz, interpret)
+    dwin = _scatter_to_windows(g.reshape(T, MtK, C), localT, Wsz, interpret)
     dtable = jnp.zeros(table.shape, jnp.float32).at[
         window_rows.reshape(-1)].add(dwin.reshape(T * Wsz, C), mode="drop")
     return dtable.astype(table.dtype), None, None

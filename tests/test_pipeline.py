@@ -50,6 +50,16 @@ def _cfg(scene_dir, **kw):
     return cfg
 
 
+def test_empty_glob_fails_loudly(scene_dir, tmp_path):
+    """An empty data glob must raise, not let downstream evals score a
+    silent mIoU 0.0 with exit 0 (seen in a fresh-machine battery run)."""
+    from pcf_tpu.data.scannet import ScanNetDataset
+
+    cfg = _cfg(scene_dir, val_data_path=str(tmp_path / "nothing" / "*.npz"))
+    with pytest.raises(FileNotFoundError, match="no validation scenes"):
+        ScanNetDataset(cfg, "validation", seed=0)
+
+
 def test_dataset_and_loader(scene_dir):
     from pcf_tpu.data.scannet import PackedLoader, ScanNetDataset
 

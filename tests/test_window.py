@@ -56,6 +56,54 @@ def test_windowed_take_grad_matches_plain():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gp), rtol=3e-5)
 
 
+def test_windowed_take_c_split_exact(monkeypatch):
+    """Regression for the 2cm/PCF_Large scoped-vmem OOM: when one tile at
+    full C exceeds the VMEM budget, _plan_grid splits the feature dim over a
+    second grid axis. Force the split with a tiny budget and check both the
+    forward and the gradient stay exact."""
+    import pcf_tpu.ops.window as W
+
+    N, K, C = 512, 16, 96
+    nei = _local_edges(N, K, 100, seed=7)
+    we = build_windows(nei, tile=128, window=512)
+    tab = jnp.asarray(np.random.default_rng(8).normal(size=(N, C)), jnp.float32)
+    jnei = jnp.asarray(nei)
+
+    plans = []
+    real_plan = W._plan_grid
+
+    def spy_plan(T, c, est):
+        g, cb = real_plan(T, c, est)
+        plans.append((g, cb))
+        return g, cb
+
+    monkeypatch.setattr(W, "_SCOPED_VMEM_BUDGET", 2 ** 20)
+    monkeypatch.setattr(W, "_plan_grid", spy_plan)
+
+    out, vjp = jax.vjp(lambda t: windowed_take(t, we), tab)
+    (gw,) = vjp(out)
+    gp = jax.grad(lambda t: (jnp.take(t, jnei, axis=0, mode="clip") ** 2).sum() / 2)(tab)
+    assert any(cb < C for _, cb in plans), plans  # the split actually engaged
+    assert np.array_equal(np.asarray(out), np.asarray(tab)[nei])
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gp), rtol=3e-5)
+
+
+def test_bwd_bf16_cotangent_f32_accumulation():
+    """The backward takes bf16 cotangent blocks (halved VMEM) but must
+    accumulate in f32: many bf16 additions of same-sign values would lose
+    low bits. Equal cotangents scattered onto one row must sum exactly."""
+    N, K = 256, 16
+    nei = np.zeros((N, K), np.int32)  # every edge hits row 0
+    we = build_windows(nei, tile=128, window=128)
+    tab = jnp.zeros((N, 4), jnp.bfloat16)
+
+    def loss(t):
+        return windowed_take(t, we).astype(jnp.float32).sum()
+
+    g = jax.grad(loss)(tab)  # d/dt row0 = N*K exactly (representable in bf16)
+    assert float(np.asarray(g, np.float32)[0, 0]) == N * K
+
+
 def test_index_points_dispatch():
     N, K = 256, 8
     nei = _local_edges(N, K, 60, seed=4)

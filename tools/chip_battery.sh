@@ -13,11 +13,26 @@ run() {
   echo "=== $name exit=$? wall=$((SECONDS-t0))s" | tee -a /tmp/battery/driver.log
 }
 
+# Bootstrap the gitignored demo artifacts on a fresh machine: the voting /
+# bench stages need the synthetic dataset and a trained checkpoint. (A prior
+# battery run without these scored a silent "mIoU 0.0000"; the dataset now
+# fails loudly, and this regenerates it.)
+if ! ls data/synth/val/*.npz >/dev/null 2>&1; then
+  run make_data python tools/make_synth_dataset.py --out data/synth
+fi
+if [ ! -d experiments/synth_demo/model ]; then
+  run demo_train python -m pcf_tpu.train.trainer \
+      --config pcf_tpu/configs/synth_demo.yaml
+fi
+
 run kparity       python benchmarks/kernel_parity.py
 run mb_win_xla    python benchmarks/model_bench.py --pallas off --window --dtype bfloat16
 run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype bfloat16
-run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window
-run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window
+# the only 2cm/PTF2 configs that fit a 16 GiB v5e (AOT HBM analysis in
+# RESULTS.md): 2 scenes needs remat + the windowed-fused kernel (15.03 GiB);
+# PCF_Large fits at 1 scene + remat (10.74 GiB)
+run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window --pallas --remat
+run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window --remat --scenes 1
 run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
 # batched-voting speedup measurement (VERDICT r1 task 7): same checkpoint,
 # one covering-set chunk per forward (reference behavior) vs vote_batch=4
