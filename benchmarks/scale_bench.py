@@ -99,6 +99,7 @@ def run_aot(args):
     cfg.USE_PALLAS_KERNEL = args.pallas
     cfg.window_gather = args.window
     cfg.remat_blocks = args.remat
+    cfg.remat_layers = args.remat_layers
     print(f"mode={args.mode} per-scene level sizes: {level_sizes}")
     print(f"packed caps: {[int(p_.shape[0]) for p_ in batch.points]}"
           + (f" window_sizes={window_sizes}" if window_sizes else ""))
@@ -190,6 +191,10 @@ def main():
     p.add_argument("--remat", action="store_true",
                    help="cfg.remat_blocks: recompute residual blocks in the "
                         "backward (memory knob, measured speed-neutral)")
+    p.add_argument("--remat-layers", action="store_true",
+                   help="cfg.remat_layers: also recompute the strided/deconv "
+                        "layer bodies (models/backbone.maybe_remat) — needed "
+                        "for the 2cm/Large configs on a 16 GiB v5e")
     p.add_argument("--spatial", type=int, default=0, metavar="N",
                    help="(--aot only) shard the batch's point dim over an "
                         "N-chip mesh (parallel/spatial.py) and report the "
@@ -224,6 +229,7 @@ def main():
     cfg.USE_PALLAS_KERNEL = args.pallas
     cfg.window_gather = args.window
     cfg.remat_blocks = args.remat
+    cfg.remat_layers = args.remat_layers
     print(f"mode={args.mode} per-scene level sizes: {level_sizes}")
     print(f"packed caps: {[int(p_.shape[0]) for p_ in batch.points]}"
           + (f" window_sizes={window_sizes}" if window_sizes else ""))

@@ -31,6 +31,22 @@ from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.config import as_config
 
 
+def maybe_remat(cls, cfg):
+    """cfg.remat_layers: recompute the strided/deconv layer bodies in the
+    backward instead of saving their [M,K,C] gather/weight intermediates to
+    HBM — the layer-level analog of the `remat_blocks` knob (resstack.py:63),
+    needed by the 2cm/PTF2 and PCF_Large configs whose level-0/1 activations
+    alone overflow a 16 GiB v5e (reference hits the same wall with
+    util/checkpoint.py). `train` sits at call position 11 for every conv
+    layer (self = 0, transforms.py lifted-remat convention), so callers must
+    pass ALL call args positionally when this knob is on.
+    """
+    if not cfg.get("remat_layers"):
+        return cls
+    train_pos = 7 if cls.__name__ == "PointTransformerLayer" else 11
+    return nn.remat(cls, static_argnums=(train_pos,))
+
+
 def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
     """Per-stage geometry shared by every same-level residual block: the
     localized neighbor offsets and (with USE_VI) the VI features, in ONE
@@ -92,12 +108,11 @@ class PCF_Backbone(nn.Module):
             localized0, vi_features = _stage_geometry(
                 pointclouds[0], edges_self[0], norms[0], use_vi=cfg.USE_VI,
                 cfg=cfg)
-            pointwise_feat, _ = PointConv(
+            pointwise_feat, _ = maybe_remat(PointConv, cfg)(
                 in_feat_dim, cfg.base_dim, cfg, (wni_dim, cfg.mid_dim[0]),
                 name="selfpointconv")(
                 pointclouds[0], pointwise_feat, edges_self[0], norms[0],
-                vi_features=vi_features, localized_xyz=localized0,
-                dense_mask=masks[0], train=train)
+                None, None, vi_features, localized0, masks[0], None, train)
             if cfg.get("scan_resblocks", True):
                 pointwise_feat = ResBlockStack(
                     PointConvStridePE, 2, cfg.base_dim, cfg,
@@ -131,24 +146,23 @@ class PCF_Backbone(nn.Module):
 
             # strided (downsampling) conv: level i-1 -> i
             if i <= guided_level:
-                sparse_feat, _ = PointConvStridePE(
+                sparse_feat, _ = maybe_remat(PointConvStridePE, cfg)(
                     in_ch, out_ch, cfg, weightnet, name=f"pointconv_{i-1}")(
                     pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
                     norms[i - 1], pointclouds[i], norms[i],
-                    dense_mask=masks[i - 1], sparse_mask=masks[i], train=train)
+                    None, None, masks[i - 1], masks[i], train)
             elif cfg.transformer_type == "PCF":
-                sparse_feat, _ = PCFLayer(
+                sparse_feat, _ = maybe_remat(PCFLayer, cfg)(
                     in_ch, out_ch, cfg, weightnet, cfg.num_heads,
                     name=f"pointconv_{i-1}")(
                     pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
                     norms[i - 1], pointclouds[i], norms[i],
-                    dense_mask=masks[i - 1], sparse_mask=masks[i], train=train)
+                    None, None, masks[i - 1], masks[i], train)
             else:
-                sparse_feat = PointTransformerLayer(
+                sparse_feat = maybe_remat(PointTransformerLayer, cfg)(
                     in_ch, out_ch, cfg, cfg.num_heads, name=f"pointconv_{i-1}")(
                     pointclouds[i - 1], feat_list[-1], edges_forward[i - 1],
-                    pointclouds[i], dense_mask=masks[i - 1], sparse_mask=masks[i],
-                    train=train)
+                    pointclouds[i], masks[i - 1], masks[i], train)
 
             # residual blocks at level i; VI features computed once per stage
             if cfg.transformer_type != "PCF" and i > guided_level:

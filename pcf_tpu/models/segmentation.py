@@ -44,11 +44,13 @@ class PointConvFormer_Segmentation(nn.Module):
             out_ch = cfg.base_dim if i == 0 else cfg.feat_dim[i]
             mlp2 = (out_ch, out_ch)
 
-            sparse_feat, _ = PointConvTransposePE(
+            from pcf_tpu.models.backbone import maybe_remat
+
+            sparse_feat, _ = maybe_remat(PointConvTransposePE, cfg)(
                 in_ch, out_ch, cfg, weightnet, mlp2, name=f"pointdeconv_{idx}")(
                 pointclouds[i + 1], sparse_feat, edges_propagate[i],
                 norms[i + 1], pointclouds[i], norms[i], feat_list[i],
-                dense_mask=masks[i], sparse_mask=masks[i + 1], train=train)
+                None, masks[i], masks[i + 1], train)
 
             # decoder residual blocks (reference gates on resblocks[i] but
             # counts resblocks_back[i], model_architecture.py:390-398)
@@ -59,12 +61,12 @@ class PointConvFormer_Segmentation(nn.Module):
                     pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
                     cfg=cfg)
                 for j in range(resblocks_back[i]):
-                    sparse_feat, _ = PointConvStridePE(
+                    sparse_feat, _ = maybe_remat(PointConvStridePE, cfg)(
                         out_ch, out_ch, cfg, weightnet,
                         name=f"pointdeconv_res_{idx}_{j}")(
                         pointclouds[i], sparse_feat, edges_self[i], norms[i],
-                        vi_features=vi_features, localized_xyz=localized,
-                        dense_mask=masks[i], train=train)
+                        None, None, vi_features, localized,
+                        masks[i], None, train)
 
         from pcf_tpu.nn.layers import _dtype_of
 

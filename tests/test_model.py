@@ -103,6 +103,47 @@ def test_segmentation_forward_and_grads(packed_batch):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
+def test_remat_layers_matches_plain(packed_batch):
+    """cfg.remat_layers must be a pure memory knob: identical param tree,
+    logits, and gradients vs the un-rematted model (backbone.maybe_remat)."""
+    b = packed_batch
+    args = (b.feats, list(b.points), list(b.edges_self), list(b.edges_forward),
+            list(b.edges_propagate), list(b.norms))
+
+    def run(**kw):
+        cfg = tiny_cfg(**kw)
+        model = PointConvFormer_Segmentation(cfg)
+        vs = model.init(jax.random.PRNGKey(0), *args, masks=list(b.masks),
+                        train=False)
+
+        def loss_fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": vs["batch_stats"]},
+                *args, masks=list(b.masks), train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            loss, _ = cross_entropy_loss(out, b.labels, mask=b.masks[0])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(vs["params"])
+        logits = model.apply(vs, *args, masks=list(b.masks), train=False)
+        return vs, logits, loss, grads
+
+    vs0, logits0, loss0, grads0 = run()
+    vs1, logits1, loss1, grads1 = run(remat_layers=True)
+
+    paths0 = jax.tree_util.tree_structure(vs0["params"])
+    paths1 = jax.tree_util.tree_structure(vs1["params"])
+    assert paths0 == paths1, "remat_layers changed the parameter tree"
+    np.testing.assert_allclose(np.asarray(logits0), np.asarray(logits1),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                                rtol=1e-4, atol=1e-5),
+        grads0, grads1)
+
+
 def test_segmentation_jit_compiles(packed_batch):
     """The full forward must be one compilable XLA program (static shapes)."""
     b = packed_batch
