@@ -35,7 +35,8 @@ def _flops_of(compiled) -> float:
 
 def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                  compute_dtype: str = "float32", scan_resblocks: bool = True,
-                 window: bool = False):
+                 window: bool = False, remat: bool = False,
+                 remat_layers: bool = False, skip_train: bool = False):
     import jax
 
     from __graft_entry__ import _flagship
@@ -50,6 +51,8 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     cfg.window_gather = window
     cfg.compute_dtype = compute_dtype
     cfg.scan_resblocks = scan_resblocks
+    cfg.remat_blocks = remat
+    cfg.remat_layers = remat_layers
     model = PointConvFormer_Segmentation(cfg)
 
     # The batch (geometry included) is an ARGUMENT: closed-over points/edges
@@ -83,6 +86,19 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     compiled = lowered.compile()
     t_eval = time_fn(fwd, variables, batch, iters=10, overhead=ov)
     eval_flops = _flops_of(compiled)
+
+    if skip_train:
+        from pcf_tpu.utils.memory import compiled_memory_gib
+        mem_e = compiled_memory_gib(compiled) or {}
+        return {
+            "hbm_eval_gib": mem_e.get("total_gib", 0.0),
+            "use_pallas": use_pallas, "compute_dtype": compute_dtype,
+            "window_gather": window, "n_scenes": n_scenes,
+            "valid_points": valid,
+            "eval_ms": t_eval * 1e3, "eval_pts_per_sec": valid / t_eval,
+            "eval_tflops": eval_flops / t_eval / 1e12,
+            "train_ms": 0.0, "train_pts_per_sec": 0.0, "train_tflops": 0.0,
+        }
 
     tx, _ = make_optimizer(cfg, iter_per_epoch=100)
     state = create_train_state(variables, tx)
@@ -135,6 +151,13 @@ def main():
     parser.add_argument("--unroll", action="store_true",
                         help="unroll residual stacks instead of nn.scan "
                              "(faster steps, slower compile)")
+    parser.add_argument("--remat", action="store_true",
+                        help="cfg.remat_blocks (train-step memory knob)")
+    parser.add_argument("--remat-layers", action="store_true",
+                        help="cfg.remat_layers (needed for train at "
+                             "batch >= 8 on a 16 GiB v5e)")
+    parser.add_argument("--eval-only", action="store_true",
+                        help="skip the train step (batch-sweep eval points)")
     args = parser.parse_args()
 
     import jax
@@ -148,7 +171,9 @@ def main():
           f"device: {kind}")
     variants = {"both": (False, True), "on": (True,), "off": (False,)}
     rows = [bench_config(up, args.points, args.scenes, args.dtype,
-                         scan_resblocks=not args.unroll, window=args.window)
+                         scan_resblocks=not args.unroll, window=args.window,
+                         remat=args.remat, remat_layers=args.remat_layers,
+                         skip_train=args.eval_only)
             for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""

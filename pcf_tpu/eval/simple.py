@@ -36,7 +36,7 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     from pcf_tpu.train.checkpoint import CheckpointManager
     from pcf_tpu.train.metrics import intersection_and_union
 
-    eval_dir = cfg.get("eval_path", "./evaluation")
+    eval_dir = cfg.get("eval_path", "./experiments/eval_artifacts/evaluation")
     os.makedirs(eval_dir, exist_ok=True)
     logger = get_logger(eval_dir)
 

@@ -54,7 +54,7 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     from pcf_tpu.train.checkpoint import CheckpointManager
     from pcf_tpu.train.metrics import intersection_and_union
 
-    eval_dir = cfg.get("eval_path", "./evaluation_voting")
+    eval_dir = cfg.get("eval_path", "./experiments/eval_artifacts/evaluation_voting")
     os.makedirs(eval_dir, exist_ok=True)
     logger = get_logger(eval_dir)
 

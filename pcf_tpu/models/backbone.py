@@ -43,7 +43,13 @@ def maybe_remat(cls, cfg):
     """
     if not cfg.get("remat_layers"):
         return cls
-    train_pos = 7 if cls.__name__ == "PointTransformerLayer" else 11
+    import inspect
+
+    # derive the static position of `train` from the signature (self = 0)
+    # instead of hard-coding it — a reordered parameter would otherwise mark
+    # the wrong argument static, far from the edit site
+    params = list(inspect.signature(cls.__call__).parameters)
+    train_pos = params.index("train")
     return nn.remat(cls, static_argnums=(train_pos,))
 
 

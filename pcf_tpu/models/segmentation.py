@@ -11,7 +11,7 @@ from typing import Any
 
 import flax.linen as nn
 
-from pcf_tpu.models.backbone import PCF_Backbone
+from pcf_tpu.models.backbone import PCF_Backbone, _stage_geometry, maybe_remat
 from pcf_tpu.nn.layers import PointConvStridePE, PointConvTransposePE
 from pcf_tpu.nn.norm import LinearBN
 from pcf_tpu.config import as_config
@@ -44,8 +44,6 @@ class PointConvFormer_Segmentation(nn.Module):
             out_ch = cfg.base_dim if i == 0 else cfg.feat_dim[i]
             mlp2 = (out_ch, out_ch)
 
-            from pcf_tpu.models.backbone import maybe_remat
-
             sparse_feat, _ = maybe_remat(PointConvTransposePE, cfg)(
                 in_ch, out_ch, cfg, weightnet, mlp2, name=f"pointdeconv_{idx}")(
                 pointclouds[i + 1], sparse_feat, edges_propagate[i],
@@ -55,8 +53,6 @@ class PointConvFormer_Segmentation(nn.Module):
             # decoder residual blocks (reference gates on resblocks[i] but
             # counts resblocks_back[i], model_architecture.py:390-398)
             if cfg.resblocks[i] != 0 and resblocks_back[i] > 0:
-                from pcf_tpu.models.backbone import _stage_geometry
-
                 localized, vi_features = _stage_geometry(
                     pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
                     cfg=cfg)

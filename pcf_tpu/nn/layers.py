@@ -50,8 +50,12 @@ def _precision_of(cfg):
 
 class DropPath(nn.Module):
     """Stochastic depth on the residual branch (reference uses timm DropPath,
-    layers.py:237-238). The packed layout has no real batch dim, so the drop
-    decision is made per point; rate is 0.0 in all shipped configs."""
+    layers.py:237-238,415). The reference packs every cloud into one
+    [1, SUM_N, C] tensor, so timm's per-sample drop (one Bernoulli along
+    dim 0) drops the residual branch for the WHOLE batch at once; the
+    shipped 2cm/PTF2 config trains with rate 0.2
+    (configs/configPCF_2cm_PTF2.yaml:49). Reproduced exactly: one scalar
+    keep/drop decision per layer call, scaled by 1/keep when kept."""
 
     rate: float
 
@@ -61,8 +65,10 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        mask = jax.random.bernoulli(rng, keep, shape=(x.shape[0],) + (1,) * (x.ndim - 1))
-        return jnp.where(mask, x / keep, 0.0)
+        mask = jax.random.bernoulli(rng, keep, shape=())
+        # observable decision: parity tests mirror it onto the torch side
+        self.sow("intermediates", "keep", mask)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
 
 
 

@@ -69,7 +69,7 @@ class ResBlockStack(nn.Module):
             body_cls = nn.remat(_Body, static_argnums=())
         ScanBody = nn.scan(
             body_cls,
-            variable_axes={"params": 0, "batch_stats": 0},
+            variable_axes={"params": 0, "batch_stats": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast,) * 6,
             length=self.n_blocks,

@@ -5,7 +5,8 @@ and `easydict`, none of which exist in this image. Parity tests only exercise
 the pure-PyTorch compute paths (USE_CUDA_KERNEL=False, PCONV_OPT=False,
 drop_path_rate=0), so minimal stubs suffice:
 
-  * timm.models.layers.DropPath  -> Identity (only used when drop_path_rate>0)
+  * timm.models.layers.DropPath  -> faithful reimplementation (per-sample
+    drop + 1/keep scaling) with a `forced` hook for decision-matched parity
   * pcf_cuda                     -> empty module (only the CUDA paths call it)
   * easydict.EasyDict            -> pcf_tpu.config.Config (dict + attr access)
 
@@ -60,10 +61,27 @@ def load_reference():
     timm_models = types.ModuleType("timm.models")
     timm_layers = types.ModuleType("timm.models.layers")
 
-    class DropPath(torch.nn.Identity):
+    class DropPath(torch.nn.Module):
+        """timm.models.layers.DropPath semantics: one Bernoulli per sample
+        along dim 0 (the reference's packed layout has batch dim 1, so the
+        whole batch keeps or drops together), kept branches scaled by
+        1/keep_prob. `forced` (None | bool) pins the keep decision so parity
+        tests can mirror the jax side's recorded draws."""
+
         def __init__(self, drop_prob: float = 0.0):
             super().__init__()
-            assert drop_prob == 0.0, "parity tests must run with drop_path_rate=0"
+            self.drop_prob = float(drop_prob)
+            self.forced = None
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1.0 - self.drop_prob
+            if self.forced is not None:
+                return x / keep if self.forced else torch.zeros_like(x)
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            rnd = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * rnd.floor_()
 
     timm_layers.DropPath = DropPath
     timm_models.layers = timm_layers

@@ -103,9 +103,16 @@ def test_segmentation_forward_and_grads(packed_batch):
     assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
 
-def test_remat_layers_matches_plain(packed_batch):
+@pytest.mark.parametrize("variant", [
+    {},  # PCF + guided_level=0: PCFLayer + PointConvTransposePE branches
+    {"guided_level": 1},  # + strided PointConvStridePE branch of maybe_remat
+    {"transformer_type": "PointTransformer"},  # train at call position 7
+])
+def test_remat_layers_matches_plain(packed_batch, variant):
     """cfg.remat_layers must be a pure memory knob: identical param tree,
-    logits, and gradients vs the un-rematted model (backbone.maybe_remat)."""
+    logits, and gradients vs the un-rematted model (backbone.maybe_remat).
+    Parametrized so every maybe_remat class branch is covered (PCFLayer /
+    PointConvStridePE / PointTransformerLayer / PointConvTransposePE)."""
     b = packed_batch
     args = (b.feats, list(b.points), list(b.edges_self), list(b.edges_forward),
             list(b.edges_propagate), list(b.norms))
@@ -129,8 +136,8 @@ def test_remat_layers_matches_plain(packed_batch):
         logits = model.apply(vs, *args, masks=list(b.masks), train=False)
         return vs, logits, loss, grads
 
-    vs0, logits0, loss0, grads0 = run()
-    vs1, logits1, loss1, grads1 = run(remat_layers=True)
+    vs0, logits0, loss0, grads0 = run(**variant)
+    vs1, logits1, loss1, grads1 = run(remat_layers=True, **variant)
 
     paths0 = jax.tree_util.tree_structure(vs0["params"])
     paths1 = jax.tree_util.tree_structure(vs1["params"])

@@ -52,7 +52,7 @@ def test_spatial_eval_matches_single_device(overrides):
         list(batch.edges_forward), list(batch.edges_propagate),
         list(batch.norms), masks=list(batch.masks), train=False)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)
     got = spatial_eval_forward(cfg, variables, batch, mesh)
     assert got.shape == expected.shape
     m = np.asarray(batch.masks[0])
@@ -62,7 +62,7 @@ def test_spatial_eval_matches_single_device(overrides):
 
 def test_spatial_rejects_indivisible_caps():
     cfg, model, variables, batch = _setup()
-    mesh = make_mesh(8)
+    mesh = make_mesh(8)  # 1500 % 8 != 0; raises before any compile
     bad = batch.replace(points=(batch.points[0][:1500],) + batch.points[1:])
     with pytest.raises(AssertionError, match="not divisible"):
         spatial_eval_forward(cfg, variables, bad, mesh)
@@ -87,7 +87,7 @@ def test_spatial_train_step_matches_single_device():
     single = make_train_step(model, tx, cfg, mesh=None)
     s_ref, m_ref = single(state, batch, rng)
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(4)
     step = make_spatial_train_step(cfg, tx, mesh)
     s_sp, m_sp = step(state, batch, rng)
 
@@ -143,7 +143,7 @@ def test_dp_x_spatial_2d_mesh_train_step():
     dp_step = make_train_step(model_dp, tx, cfg_dp, mesh=dp_mesh)
     s_ref, m_ref = dp_step(state, stacked, rng)
 
-    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("data", "space"))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "space"))
     step = make_spatial_train_step(cfg, tx, mesh)
     s2, m2 = step(state, stacked, rng)
 

@@ -28,11 +28,12 @@ fi
 run kparity       python benchmarks/kernel_parity.py
 run mb_win_xla    python benchmarks/model_bench.py --pallas off --window --dtype bfloat16
 run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype bfloat16
-# the only 2cm/PTF2 configs that fit a 16 GiB v5e (AOT HBM analysis in
-# RESULTS.md): 2 scenes needs remat + the windowed-fused kernel (15.03 GiB);
-# PCF_Large fits at 1 scene + remat (10.74 GiB)
-run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window --pallas --remat
-run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window --remat --scenes 1
+# 2cm/PTF2 and PCF_Large on a 16 GiB v5e need BOTH remat knobs: --remat
+# (residual blocks) alone measured 15.93 GiB on chip (OOM by 188 MiB, padding-
+# dominated decoder backward stashes); adding --remat-layers lands at
+# 11.06 GiB (2cm, 2 scenes) / 3.36 GiB (Large, 1 scene) — RESULTS.md r3.
+run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window --pallas --remat --remat-layers
+run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window --remat --remat-layers --scenes 1
 run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
 # batched-voting speedup measurement (VERDICT r1 task 7): same checkpoint,
 # one covering-set chunk per forward (reference behavior) vs vote_batch=4
