@@ -43,8 +43,14 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                     split: str = "validation", vote_num: int = 8,
                     init_deg: float = 0.0, state=None,
                     max_scenes: int | None = None, write_outputs: bool = True):
+    import time as _time
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      cfg.get("compile_cache_dir", "/tmp/pcf_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from pcf_tpu.core.batching import pack_scenes
     from pcf_tpu.data.pyramid import scene_to_item
@@ -99,14 +105,19 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     ]
     n_scenes = len(datasets[0]) if max_scenes is None else min(
         max_scenes, len(datasets[0]))
-    # chunks packed together per forward: amortizes per-call overhead and
-    # fills the chip (the reference runs one covering set per forward,
-    # test_ScanNet_voting.py:222-249; measured >=3x wall-clock here)
+    # chunks packed together per forward: amortizes per-call overhead (the
+    # reference runs one covering set per forward,
+    # test_ScanNet_voting.py:222-249). Measured on the v5e chip with a warm
+    # compile cache (synth_demo, 8 scenes x 3 votes, RESULTS.md r3 table):
+    # vote_batch=4 is the sweet spot; 8 loses to padding waste.
     vote_batch = int(cfg.get("vote_batch", 4))
 
     inter_sum = np.zeros(cfg.num_classes)
     union_sum = np.zeros(cfg.num_classes)
     target_sum = np.zeros(cfg.num_classes)
+    t_start = _time.time()
+    fwd_s = 0.0
+    n_fwd = 0
 
     for idx in range(n_scenes):
         raw_n = datasets[0].raw_coord(idx).shape[0]
@@ -144,10 +155,14 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                                 bucket_multiple=cfg.bucket_multiple,
                                 ignore_label=cfg.ignore_label)
             ensure_variables(batch)
+            t0 = _time.time()
             probs = fwd(variables, batch.feats, list(batch.points),
                         list(batch.edges_self), list(batch.edges_forward),
                         list(batch.edges_propagate), list(batch.norms),
                         list(batch.masks))
+            jax.block_until_ready(probs)
+            fwd_s += _time.time() - t0
+            n_fwd += 1
             # rows of scene j are contiguous and in input order; bid == j
             # selects exactly its valid rows
             bids = np.asarray(batch.bids[0])
@@ -178,6 +193,9 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
 
     iou = inter_sum / np.maximum(union_sum, 1)
     miou = float(iou.mean())
+    logger.info(
+        f"Voting wall {_time.time() - t_start:.1f}s (device+dispatch "
+        f"{fwd_s:.1f}s across {n_fwd} forwards, vote_batch={vote_batch})")
     logger.info(f"Voting mIoU ({vote_num} votes): {miou:.4f}")
     return miou
 

@@ -35,14 +35,23 @@ run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype
 run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window --pallas --remat --remat-layers
 run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window --remat --remat-layers --scenes 1
 run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
-# batched-voting speedup measurement (VERDICT r1 task 7): same checkpoint,
-# one covering-set chunk per forward (reference behavior) vs vote_batch=4
-run vote_b1 python -m pcf_tpu.eval.voting --config pcf_tpu/configs/synth_demo.yaml \
-    --pretrain_path experiments/synth_demo/model --vote_num 3 \
-    --set vote_batch=1 --set eval_path=/tmp/battery/vote_b1
-run vote_b4 python -m pcf_tpu.eval.voting --config pcf_tpu/configs/synth_demo.yaml \
-    --pretrain_path experiments/synth_demo/model --vote_num 3 \
-    --set vote_batch=4 --set eval_path=/tmp/battery/vote_b4
+# batched-voting speedup measurement: one covering-set chunk per forward
+# (reference behavior, test_ScanNet_voting.py:222-249) vs vote_batch=4.
+# Two passes each: the first populates the persistent compile cache, the
+# second ("warm") is the steady-state wall the RESULTS.md table reports.
+for pass in cold warm; do
+  for vb in 1 4; do
+    run vote_${pass}_b$vb python -m pcf_tpu.eval.voting \
+        --config pcf_tpu/configs/synth_demo.yaml \
+        --pretrain_path experiments/synth_demo/model --vote_num 3 \
+        --set vote_batch=$vb --set eval_path=/tmp/battery/vote_${pass}_b$vb
+  done
+done
+# ModelNet10-analog accuracy proof: 4 synthetic shape classes to >=90%
+# held-out accuracy (reference tests_pointconv/test_modelnet10.py:307-450)
+run classify      python benchmarks/classify_proof.py
+# 2-process multi-host semantics on the CPU backend (gloo collectives)
+run multihost     python tools/multihost_dryrun.py
 run bench         python bench.py
 echo "battery done" | tee -a /tmp/battery/driver.log
 # Persist results into the repo: if no session is alive when the relay
