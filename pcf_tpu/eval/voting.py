@@ -105,12 +105,14 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     ]
     n_scenes = len(datasets[0]) if max_scenes is None else min(
         max_scenes, len(datasets[0]))
-    # chunks packed together per forward: amortizes per-call overhead (the
-    # reference runs one covering set per forward,
-    # test_ScanNet_voting.py:222-249). Measured on the v5e chip with a warm
-    # compile cache (synth_demo, 8 scenes x 3 votes, RESULTS.md r3 table):
-    # vote_batch=4 is the sweet spot; 8 loses to padding waste.
-    vote_batch = int(cfg.get("vote_batch", 4))
+    # chunks packed together per forward. MEASURED LOSS on v5e (synth_demo,
+    # 8 scenes x 3 votes, RESULTS.md r3 table): packing 4 variable-size
+    # chunks multiplies the unique bucket signatures (a compile per new
+    # combination) and pads every level to the group's cap — device time
+    # 70s at vote_batch=1 vs 167-790s at 4. Default matches the reference's
+    # one-covering-set-per-forward (test_ScanNet_voting.py:222-249), which
+    # is also the fastest here; the knob remains for fat-batch experiments.
+    vote_batch = int(cfg.get("vote_batch", 1))
 
     inter_sum = np.zeros(cfg.num_classes)
     union_sum = np.zeros(cfg.num_classes)
@@ -119,35 +121,49 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     fwd_s = 0.0
     n_fwd = 0
 
+    # Host-side job building (covering-set voxelize + per-chunk pyramid +
+    # kNN) dominates the wall when run serially — measured 783s wall vs 111s
+    # device at vote_batch=1 (RESULTS.md r3). Each (scene, rotation) builds
+    # independently: a thread pool parallelizes the rotations and prefetches
+    # the next scene while the chip predicts the current one (the kNN /
+    # KD-tree / numpy kernels release the GIL, like PackedLoader's threads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _vote_jobs(idx, ds):
+        jobs = []  # (chunk_item, crop_idx)
+        for item in ds[idx]:  # list of covering-set items
+            for chunk in _chunk_item(item, cfg.MAX_POINTS_NUM):
+                if "_slice" in chunk:
+                    # Oversized covering set: rebuild the pyramid from the
+                    # sliced level-0 points. (Slicing the existing pyramid
+                    # would keep stale edges into points outside the
+                    # chunk; the reference instead chunks pre-pyramid,
+                    # test_ScanNet_voting.py:35-73 — same semantics.)
+                    s, e = chunk.pop("_slice")
+                    chunk_item = scene_to_item(
+                        item["point_list"][0][s:e],
+                        item["surface_normal_list"][0][s:e],
+                        item["feature_list"][s:e],
+                        item["label_list"][s:e],
+                        cfg.grid_size, cfg.get("K_self", 16),
+                        cfg.get("K_forward", 16), cfg.get("K_propagate", 16))
+                else:
+                    chunk_item = {k: v for k, v in chunk.items()
+                                  if k != "crop_idx"}
+                jobs.append((chunk_item, chunk["crop_idx"]))
+        return jobs
+
+    pool = ThreadPoolExecutor(max_workers=int(cfg.get("eval_workers", 8)))
+    submit = lambda idx: [pool.submit(_vote_jobs, idx, ds) for ds in datasets]
+    pending = submit(0)
+
     for idx in range(n_scenes):
         raw_n = datasets[0].raw_coord(idx).shape[0]
         accum = np.zeros((raw_n, cfg.num_classes), np.float64)
         counts = np.zeros(raw_n, np.float64)
 
-        # collect every (covering set x rotation) chunk of this scene first,
-        # then predict them vote_batch at a time in one packed forward
-        jobs = []  # (chunk_item, crop_idx)
-        for ds in datasets:
-            for item in ds[idx]:  # list of covering-set items
-                for chunk in _chunk_item(item, cfg.MAX_POINTS_NUM):
-                    if "_slice" in chunk:
-                        # Oversized covering set: rebuild the pyramid from the
-                        # sliced level-0 points. (Slicing the existing pyramid
-                        # would keep stale edges into points outside the
-                        # chunk; the reference instead chunks pre-pyramid,
-                        # test_ScanNet_voting.py:35-73 — same semantics.)
-                        s, e = chunk.pop("_slice")
-                        chunk_item = scene_to_item(
-                            item["point_list"][0][s:e],
-                            item["surface_normal_list"][0][s:e],
-                            item["feature_list"][s:e],
-                            item["label_list"][s:e],
-                            cfg.grid_size, cfg.get("K_self", 16),
-                            cfg.get("K_forward", 16), cfg.get("K_propagate", 16))
-                    else:
-                        chunk_item = {k: v for k, v in chunk.items()
-                                      if k != "crop_idx"}
-                    jobs.append((chunk_item, chunk["crop_idx"]))
+        futs, pending = pending, (submit(idx + 1) if idx + 1 < n_scenes else [])
+        jobs = [j for f in futs for j in f.result()]
 
         for g0 in range(0, len(jobs), vote_batch):
             group = jobs[g0:g0 + vote_batch]
@@ -191,6 +207,7 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
         logger.info(f"{idx + 1}/{n_scenes} {name}: {raw_n} raw pts, "
                     f"miou so far {np.mean(inter_sum / np.maximum(union_sum, 1)):.4f}")
 
+    pool.shutdown(wait=True)
     iou = inter_sum / np.maximum(union_sum, 1)
     miou = float(iou.mean())
     logger.info(

@@ -108,6 +108,14 @@ class LinearBN(nn.Module):
         self, x: jnp.ndarray, mask: jnp.ndarray | None = None, train: bool = False
     ) -> jnp.ndarray:
         from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+
+        # Layout note (measured, r3): flattening [...,K,C] inputs to 2-D
+        # around the Dense+BN won a standalone microbenchmark
+        # (benchmarks/layout_bench.py: 1.32 vs 1.45 ms) but REGRESSED the
+        # full model 62% (flagship eval 22.6 -> 36.5 ms on chip,
+        # battery_results/mb_flat.log): the inserted reshapes break XLA's
+        # producer->consumer fusions and force materialized relayouts at
+        # every 3-D consumer. Keep the natural 3-D shapes and let XLA fuse.
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="c",
                      kernel_init=torch_linear_kernel,
                      bias_init=torch_linear_bias(x.shape[-1]))(x)
