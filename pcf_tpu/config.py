@@ -108,6 +108,10 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # dataset at loader startup (data/scannet.estimate_window_sizes).
     cfg.setdefault("window_sizes", None)
     cfg.setdefault("window_margin", 1.3)
+    # Whole-layer inference megakernel (ops/pallas/eval_kernel.py): resolve +
+    # VI + WeightNet/PE/guidance MLPs (BN folded) + contraction + linear in
+    # one Pallas kernel. Inference-only; needs window_gather batches.
+    cfg.setdefault("fused_eval", False)
     return cfg
 
 

@@ -53,6 +53,21 @@ def maybe_remat(cls, cfg):
     return nn.remat(cls, static_argnums=(train_pos,))
 
 
+def _skip_stage_geometry(cfg, module, nei_inds, train, block_cls=None) -> bool:
+    """True when every block of the stage will take the fused-eval kernel
+    path (nn/fused_eval.py), which recomputes VI in VMEM from the geometry
+    windows — precomputing the [M,K,12]/[M,K,3] stage tensors would only
+    materialize unused scan inputs."""
+    from pcf_tpu.nn.fused_eval import fused_eval_ok
+
+    if not fused_eval_ok(cfg, module, nei_inds, train):
+        return False
+    if block_cls is PCFLayer:
+        return (cfg.attention_type == "subtraction"
+                and not cfg.layer_norm_guidance)
+    return True
+
+
 def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
     """Per-stage geometry shared by every same-level residual block: the
     localized neighbor offsets and (with USE_VI) the VI features, in ONE
@@ -111,9 +126,13 @@ class PCF_Backbone(nn.Module):
             # level-0 neighborhood and shared by the PointConv and its residual
             # blocks — they all use edges_self[0] (model_architecture.py:221-241
             # caches VI the same way; here the f32 geometry gather is shared too).
-            localized0, vi_features = _stage_geometry(
-                pointclouds[0], edges_self[0], norms[0], use_vi=cfg.USE_VI,
-                cfg=cfg)
+            if _skip_stage_geometry(cfg, self, edges_self[0], train,
+                                    PointConvStridePE):
+                localized0, vi_features = None, None
+            else:
+                localized0, vi_features = _stage_geometry(
+                    pointclouds[0], edges_self[0], norms[0],
+                    use_vi=cfg.USE_VI, cfg=cfg)
             pointwise_feat, _ = maybe_remat(PointConv, cfg)(
                 in_feat_dim, cfg.base_dim, cfg, (wni_dim, cfg.mid_dim[0]),
                 name="selfpointconv")(
@@ -180,9 +199,13 @@ class PCF_Backbone(nn.Module):
                         dense_mask=masks[i], train=train)
             elif cfg.resblocks[i] > 0:
                 block_cls = PointConvStridePE if i <= guided_level else PCFLayer
-                localized, vi_features = _stage_geometry(
-                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
-                    cfg=cfg)
+                if _skip_stage_geometry(cfg, self, edges_self[i], train,
+                                        block_cls):
+                    localized, vi_features = None, None
+                else:
+                    localized, vi_features = _stage_geometry(
+                        pointclouds[i], edges_self[i], norms[i],
+                        use_vi=cfg.USE_VI, cfg=cfg)
                 if cfg.get("scan_resblocks", True):
                     sparse_feat = ResBlockStack(
                         block_cls, cfg.resblocks[i], out_ch, cfg, weightnet,

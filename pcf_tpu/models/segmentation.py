@@ -11,7 +11,12 @@ from typing import Any
 
 import flax.linen as nn
 
-from pcf_tpu.models.backbone import PCF_Backbone, _stage_geometry, maybe_remat
+from pcf_tpu.models.backbone import (
+    PCF_Backbone,
+    _skip_stage_geometry,
+    _stage_geometry,
+    maybe_remat,
+)
 from pcf_tpu.nn.layers import PointConvStridePE, PointConvTransposePE
 from pcf_tpu.nn.norm import LinearBN
 from pcf_tpu.config import as_config
@@ -53,9 +58,13 @@ class PointConvFormer_Segmentation(nn.Module):
             # decoder residual blocks (reference gates on resblocks[i] but
             # counts resblocks_back[i], model_architecture.py:390-398)
             if cfg.resblocks[i] != 0 and resblocks_back[i] > 0:
-                localized, vi_features = _stage_geometry(
-                    pointclouds[i], edges_self[i], norms[i], use_vi=cfg.USE_VI,
-                    cfg=cfg)
+                if _skip_stage_geometry(cfg, self, edges_self[i], train,
+                                        PointConvStridePE):
+                    localized, vi_features = None, None
+                else:
+                    localized, vi_features = _stage_geometry(
+                        pointclouds[i], edges_self[i], norms[i],
+                        use_vi=cfg.USE_VI, cfg=cfg)
                 for j in range(resblocks_back[i]):
                     sparse_feat, _ = maybe_remat(PointConvStridePE, cfg)(
                         out_ch, out_ch, cfg, weightnet,

@@ -25,6 +25,31 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def fused_wins(cfg, n_out_points: int, c_in: int, out_dim: int) -> bool:
+    """Shape-level dispatch: does the fused conv+linear kernel beat XLA here?
+
+    Measured on v5e (benchmarks/RESULTS.md): the kernel wins 1.14-1.45x only
+    at M >= ~20k AND wide contractions (C >= 64); the PCF bottleneck keeps
+    c_in = out_channel/4 at 16-48 for every level with that many points, so
+    at flagship shapes NO layer is in the win region. Layers must take this
+    decision BEFORE choosing their gather strategy: the earlier design
+    decided inside FusedConvLinear, and its XLA fallback ran a SEPARATE
+    feature gather, losing the combined-gather win (measured: whole-model
+    "--pallas on" 29.3 vs 23.6 ms eval even though no layer used the kernel).
+    out_dim >= 128 excludes the one remaining flagship candidate (the L0
+    decoder deconv: M=40960, c_in=160, out=64), measured to LOSE in-model
+    (24.8 vs 23.1 ms eval / 80.4 vs 69.8 ms train with it enabled) despite
+    the standalone win at similar sizes — in-graph, XLA fuses the unfused
+    contraction with its neighbors, which the standalone bench can't see.
+    fused_min_points=0 forces the kernel everywhere (tests / retuning)."""
+    min_pts = cfg.get("fused_min_points", 20480)
+    if min_pts == 0:
+        return True
+    return (n_out_points >= min_pts
+            and c_in >= cfg.get("fused_min_cin", 64)
+            and out_dim >= cfg.get("fused_min_out", 128))
+
+
 class FusedConvLinear(nn.Module):
     """(gather + [guidance|PE] + K-contraction + linear) as one kernel,
     followed by masked BN. Owns the linear params."""

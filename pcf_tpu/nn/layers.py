@@ -28,7 +28,14 @@ from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.nn.norm import LinearBN, UnaryBlock
 from pcf_tpu.nn.weightnet import WeightNet
 from pcf_tpu.nn.guidance import MultiHeadGuidance, MultiHeadGuidanceQK
-from pcf_tpu.nn.fused import FusedConvLinear
+from pcf_tpu.nn.fused import FusedConvLinear, fused_wins
+from pcf_tpu.nn.fused_eval import (
+    fused_eval_ok,
+    try_pcf_fused_eval,
+    try_pointconv_fused_eval,
+    try_stride_pe_fused_eval,
+    try_transpose_fused_eval,
+)
 from pcf_tpu.config import as_config
 
 
@@ -176,7 +183,21 @@ class PointConv(nn.Module):
         center_norm = sparse_xyz_norm if sparse_xyz is not None else dense_xyz_norm
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
 
-        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        if fused_eval_ok(cfg, self, nei_inds, train):
+            # whole-layer inference kernel (ops/pallas/eval_kernel.py):
+            # resolve + VI + WeightNet + contraction + linear(+BN fold) + ReLU
+            new_feat = try_pointconv_fused_eval(
+                self, cfg, dense_feats, dense_xyz, dense_xyz_norm, nei_inds,
+                center_xyz, center_norm, use_vi)
+            return new_feat, None  # dropout is a no-op at inference
+
+        # dispatch BEFORE the gather strategy: a layer outside the kernel's
+        # measured win region must run the exact XLA path, combined gathers
+        # included (see fused_wins)
+        pe_w = (12 if use_vi else 3) if cfg.USE_PE else 0
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL")) and fused_wins(
+            cfg, nei_inds.shape[0], dense_feats.shape[-1] + pe_w,
+            self.out_channel)
         src_xyz, src_norm, src_feats = _spatial_full(
             cfg, dense_xyz, dense_xyz_norm, dense_feats)
         # localized_xyz / vi_features may be precomputed once per stage and
@@ -261,7 +282,10 @@ class PointConvStridePE(nn.Module):
         center_norm = sparse_xyz_norm if strided else dense_xyz_norm
         out_mask = sparse_mask if strided else dense_mask
         axis_name = cfg.get("bn_axis_name")
-        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        last_ch = min(self.out_channel // 4, 32)
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL")) and fused_wins(
+            cfg, nei_inds.shape[0], self.out_channel // 4 + last_ch,
+            self.out_channel // 2)
 
         # First downscaling mlp (bottleneck)
         if self.in_channel != self.out_channel // 4:
@@ -270,6 +294,28 @@ class PointConvStridePE(nn.Module):
                 dense_feats, mask=dense_mask, train=train)
         else:
             feats_x = dense_feats
+
+        if fused_eval_ok(cfg, self, nei_inds, train):
+            res = try_stride_pe_fused_eval(
+                self, cfg, feats_x, dense_feats, dense_xyz, dense_xyz_norm,
+                nei_inds, center_xyz, center_norm, strided)
+            if res is not None:
+                new_feat, sparse_feats = res
+                new_feat = UnaryBlock(
+                    self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
+                    axis_name=axis_name, name="unary2")(
+                    new_feat, mask=out_mask, train=train)
+                if self.in_channel != self.out_channel:
+                    shortcut = UnaryBlock(
+                        self.out_channel, use_bn=True, dtype=dtype,
+                        no_relu=True, axis_name=axis_name,
+                        name="unary_shortcut")(
+                        sparse_feats, mask=out_mask, train=train)
+                else:
+                    shortcut = sparse_feats
+                new_feat = nn.leaky_relu(new_feat + shortcut,
+                                         negative_slope=0.1)
+                return new_feat, None
 
         src_xyz, src_norm, src_feats_x, src_dense = _spatial_full(
             cfg, dense_xyz, dense_xyz_norm, feats_x, dense_feats)
@@ -283,7 +329,6 @@ class PointConvStridePE(nn.Module):
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
 
         # positional encoding branch (layers.py:575-577,669)
-        last_ch = min(self.out_channel // 4, 32)
         feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
                             efficient=True, use_bn=cfg.BATCH_NORM, dtype=dtype,
                             axis_name=axis_name, name="pe_convs")(
@@ -369,7 +414,9 @@ class PCFLayer(nn.Module):
         center_norm = sparse_xyz_norm if strided else dense_xyz_norm
         out_mask = sparse_mask if strided else dense_mask
         axis_name = cfg.get("bn_axis_name")
-        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL")) and fused_wins(
+            cfg, nei_inds.shape[0], self.out_channel // 4,
+            self.out_channel // 2)
 
         # First downscaling mlp
         if self.in_channel != self.out_channel // 4:
@@ -383,6 +430,29 @@ class PCFLayer(nn.Module):
         guidance_x = UnaryBlock(self.guidance_feat_len, use_bn=True, dtype=dtype, no_relu=True,
                                 axis_name=axis_name, name="guidance_unary")(
             feats_x, mask=dense_mask, train=train)
+
+        if fused_eval_ok(cfg, self, nei_inds, train):
+            res = try_pcf_fused_eval(
+                self, cfg, feats_x, guidance_x, dense_feats, dense_xyz,
+                dense_xyz_norm, nei_inds, center_xyz, center_norm, strided)
+            if res is not None:
+                new_feat, sparse_feats = res
+                new_feat = UnaryBlock(
+                    self.out_channel, use_bn=True, dtype=dtype, no_relu=True,
+                    axis_name=axis_name, name="unary2")(
+                    new_feat, mask=out_mask, train=train)
+                if self.in_channel != self.out_channel:
+                    shortcut = UnaryBlock(
+                        self.out_channel, use_bn=True, dtype=dtype,
+                        no_relu=True, axis_name=axis_name,
+                        name="unary_shortcut")(
+                        sparse_feats, mask=out_mask, train=train)
+                else:
+                    shortcut = sparse_feats
+                # DropPath is the identity at inference
+                new_feat = nn.leaky_relu(new_feat + shortcut,
+                                         negative_slope=0.1)
+                return new_feat, None
 
         src_xyz, src_norm, src_feats_x, src_guid, src_dense = _spatial_full(
             cfg, dense_xyz, dense_xyz_norm, feats_x, guidance_x, dense_feats)
@@ -502,7 +572,25 @@ class PointConvTransposePE(nn.Module):
                 dense_feats = dense_feats.astype(dtype)
         axis_name = cfg.get("bn_axis_name")
         out_mask = dense_mask
-        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL"))
+        pe_w = min(self.out_channel // 4, 32) if cfg.USE_PE else 0
+        use_pallas = bool(cfg.get("USE_PALLAS_KERNEL")) and fused_wins(
+            cfg, nei_inds.shape[0], sparse_feats.shape[-1] + pe_w,
+            self.out_channel)
+
+        if fused_eval_ok(cfg, self, nei_inds, train):
+            new_feat = try_transpose_fused_eval(
+                self, cfg, sparse_feats, sparse_xyz, sparse_xyz_norm,
+                nei_inds, dense_xyz, dense_xyz_norm)
+            if dense_feats is not None:  # encoder skip (layers.py:1096-1097)
+                new_feat = new_feat + dense_feats
+            if self.mlp2:
+                for i in range(1, len(self.mlp2)):
+                    new_feat = LinearBN(
+                        self.mlp2[i], use_bn=cfg.BATCH_NORM, dtype=dtype,
+                        axis_name=axis_name, name=f"mlp2_convs_{i-1}")(
+                        new_feat, mask=out_mask, train=train)
+                    new_feat = nn.relu(new_feat)
+            return new_feat, None
 
         src_xyz, src_norm, src_feats = _spatial_full(
             cfg, sparse_xyz, sparse_xyz_norm, sparse_feats)

@@ -1,0 +1,421 @@
+"""Fused whole-layer inference kernel ("stage megakernel").
+
+The flagship eval profile (benchmarks/profile_model.py, RESULTS.md r3) shows
+the XLA path bound not by FLOPs (0.6% MFU) but by the HBM round-trips between
+dozens of small fusions: every [M, K, c] tensor a PCF layer materializes
+(gathered features, VI features, WeightNet/PE/guidance MLP activations,
+guidance scores) is lane-padded up to 128/c x in HBM, and ~14% of device time
+is pure relayout copies. The reference hides the same intermediates in GPU
+shared memory inside its fused CUDA kernels (pconv_ops.cu:64-84,950-1269);
+the TPU answer is one Pallas kernel per layer that keeps them in VMEM:
+
+  window-resolve (one-hot MXU gather, ops/window.py) of features + geometry
+  -> localize -> VI transform -> WeightNet MLP -> PE / guidance MLPs
+  -> guidance modulate -> K-contraction -> output linear (+ BN + ReLU)
+
+Only the deduplicated window ([T, Wsz, c] — ~4x fewer HBM rows than M*K)
+and the [M, O] outputs touch HBM. BatchNorms run on inference running stats,
+so every Linear+BN pair folds into one affine transform OUTSIDE the kernel
+(the TPU analog of the reference's replace_batchnorm fusion,
+util/common_util.py:237-247) — the kernel sees plain (w, b) pairs.
+
+Precision contract. TPU matmuls at DEFAULT precision use bf16 multiplicands
+(f32 accumulate) — including the one-hot resolve, so a plain f32 geometry
+window would quantize COORDINATES to bf16 before localization, a
+catastrophic-cancellation disaster (offsets are small differences of large
+coords). Two modes, keyed on the feature-table dtype:
+  * bf16 (production): features resolve exactly (bf16 x one-hot is exact);
+    geometry rides the SAME window as a hi/lo bf16 pair
+    (hi = bf16(x), lo = bf16(x - hi)), reconstructed in-kernel as
+    hi + lo — exact to ~2^-16 relative, and one resolve matmul covers
+    features AND geometry. MLP/projection matmuls run bf16 multiplicands,
+    the same contract as the XLA path's Dense(dtype=bf16).
+  * f32 (ground truth / parity tests): one f32 window, every dot at
+    Precision.HIGHEST — bit-faithful to the unfused math.
+
+Inference-only by design, like the reference's CUTLASS forward ("only
+recommended during testing", model_architecture.py:73-74): training keeps
+the XLA path with its exact BN-stat semantics and derived backward.
+
+Covers all four conv layers (nn/layers.py):
+  PCFLayer           guided (gd MLP), pe on VI (mlp_conv), Ct = Cx
+  PointConvStridePE  pe on localized (pe_convs),           Ct = Cx + Cpe
+  PointConv          concat_wni (PE = WeightNet input),    Ct = Cx + 12|3
+  PointConvTransposePE  pe on localized,                   Ct = Cx + Cpe
+with `strided` selecting the max-pool guidance key + max-pool shortcut
+second output (layers.py:377-381,728-737).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+def _rsqnorm(x, axis=-1):
+    """1 / max(||x||, eps) along `axis` (torch F.normalize semantics)."""
+    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return 1.0 / jnp.maximum(n, _EPS)
+
+
+def _cross(a, b):
+    """Cross product on [chunk, 3] tiles via explicit lane slices."""
+    a0, a1, a2 = a[:, 0:1], a[:, 1:2], a[:, 2:3]
+    b0, b1, b2 = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    return jnp.concatenate(
+        [a1 * b2 - a2 * b1, a2 * b0 - a0 * b2, a0 * b1 - a1 * b0], axis=-1)
+
+
+def _vi_chunk(loc, gn, cn):
+    """VI transform on a [chunk, 3] slab -> [chunk, 12] (theta1..9 + loc).
+
+    Same math as ops/vi_transform.VI_coordinate_transform, expressed on 2-D
+    tiles. The 12-wide assembly uses iota-select writes instead of nine
+    1-lane concats (the in-kernel mirror of the r4 layout fix)."""
+    r_hat = loc * _rsqnorm(loc)
+    ns_dot_r = jnp.sum(cn * r_hat, axis=-1, keepdims=True)
+    v = cn - ns_dot_r * r_hat
+    v_miu = v * _rsqnorm(v)
+    w = _cross(r_hat, v_miu)
+    w_miu = w * _rsqnorm(w)
+
+    thetas = [
+        jnp.sum(gn * cn, axis=-1, keepdims=True),      # theta1
+        ns_dot_r,                                       # theta2
+        jnp.sum(r_hat * gn, axis=-1, keepdims=True),    # theta3
+        jnp.sum(loc * cn, axis=-1, keepdims=True),      # theta4
+        jnp.sum(gn * r_hat, axis=-1, keepdims=True),    # theta5 (= theta3)
+        jnp.sum(gn * v_miu, axis=-1, keepdims=True),    # theta6
+        jnp.sum(gn * w_miu, axis=-1, keepdims=True),    # theta7
+        jnp.sum(loc * _cross(gn, cn), axis=-1, keepdims=True),     # theta8
+        jnp.sqrt(jnp.sum(loc * loc, axis=-1, keepdims=True)),      # theta9
+    ]
+    chunk = loc.shape[0]
+    iota = lax.broadcasted_iota(jnp.int32, (chunk, 12), 1)
+    vi = jnp.zeros((chunk, 12), jnp.float32)
+    for j, t in enumerate(thetas):
+        vi = jnp.where(iota == j, t, vi)
+    for j in range(3):
+        vi = jnp.where(iota == 9 + j, loc[:, j:j + 1], vi)
+    return vi
+
+
+def _mlp_chunk(x, weights, mm_dtype, final_act, prec):
+    """Folded-affine MLP: x @ w + b with ReLU between layers and `final_act`
+    ('relu' | 'sigmoid') after the last (WeightNet ReLUs after every layer
+    incl. the last, layers.py:163-171; guidance ends in sigmoid)."""
+    n = len(weights)
+    for i, (w, b) in enumerate(weights):
+        x = jnp.dot(x.astype(mm_dtype), w.astype(mm_dtype),
+                    preferred_element_type=jnp.float32, precision=prec) + b
+        if i < n - 1 or final_act == "relu":
+            x = jnp.maximum(x, 0.0)
+        elif final_act == "sigmoid":
+            x = jax.nn.sigmoid(x)
+    return x
+
+
+def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
+                 n_wn, n_pe, n_gd, has_pe_s, use_vi, pe_on_vi, concat_wni,
+                 strided, relu_out, chunk, exact, interpret):
+    """Kernel body builder. Ref layout per grid step (one window tile):
+      ins:  win [1, Wsz, Cw], loc [1, 1, MtK],
+            cx [Mt, 3], (cn [Mt, 3] if use_vi),
+            (w, b) * n_wn, * n_pe, * n_gd, lw3 [W, Ct, O], lb [1, O]
+      outs: out [Mt, O] (+ short [Mt, Cs] if strided)
+      scratch: conv_s [MtK, Cx], wgt_s [MtK, W],
+               (pe_s [MtK, Cpe] if has_pe_s), (guid_s [MtK, Cg] +
+               sc_s [MtK, H] if n_gd)
+    Cw = Cx + Cg + Cs + Gd * (1 if exact else 2): the window carries the
+    features AND the geometry (f32 slab in exact mode, hi/lo bf16 pair in
+    production), so one one-hot matmul resolves everything. Slabs are split
+    off the resolved VALUE per chunk (no unaligned lane slices on refs)."""
+    Mt = MtK // K
+    n_chunks = MtK // chunk
+    pts_c = chunk // K
+    mm = jnp.float32 if exact else jnp.bfloat16
+    prec = lax.Precision.HIGHEST if exact else None
+    Cf = Cx + Cg + Cs
+
+    def kernel(*refs):
+        i = 0
+        win = refs[i]; i += 1
+        loc = refs[i]; i += 1
+        cx = refs[i]; i += 1
+        cn = None
+        if use_vi:
+            cn = refs[i]; i += 1
+        wn_p = [(refs[i + 2 * j], refs[i + 2 * j + 1]) for j in range(n_wn)]
+        i += 2 * n_wn
+        pe_p = [(refs[i + 2 * j], refs[i + 2 * j + 1]) for j in range(n_pe)]
+        i += 2 * n_pe
+        gd_p = [(refs[i + 2 * j], refs[i + 2 * j + 1]) for j in range(n_gd)]
+        i += 2 * n_gd
+        lw3 = refs[i]; i += 1
+        lb = refs[i]; i += 1
+        out_ref = refs[i]; i += 1
+        short_ref = None
+        if strided:
+            short_ref = refs[i]; i += 1
+        conv_s = refs[i]; i += 1
+        wgt_s = refs[i]; i += 1
+        pe_s = None
+        if has_pe_s:
+            pe_s = refs[i]; i += 1
+        guid_s = sc_s = None
+        if n_gd:
+            guid_s = refs[i]; i += 1
+            sc_s = refs[i]; i += 1
+
+        iota = lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
+        wn_w = [(w[...].astype(jnp.float32), b[...].astype(jnp.float32))
+                for w, b in wn_p]
+        pe_w = [(w[...].astype(jnp.float32), b[...].astype(jnp.float32))
+                for w, b in pe_p]
+        gd_w = [(w[...].astype(jnp.float32), b[...].astype(jnp.float32))
+                for w, b in gd_p]
+
+        def geom_body(j, _):
+            e = j * chunk
+            p0 = e // K
+            lc = loc[0, :, pl.dslice(e, chunk)]          # [1, chunk]
+            onehot = (iota == lc)
+            # one resolve covers features AND geometry: one-hot^T @ window.
+            # bf16 window: products are value*1/value*0 — exact selection
+            # into the f32 accumulator; f32 (exact mode) runs HIGHEST.
+            w_all = win[0]                               # [Wsz, Cw]
+            feat = lax.dot_general(
+                onehot.astype(w_all.dtype), w_all, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                          # [chunk, Cw] f32
+            conv_s[pl.dslice(e, chunk)] = feat[:, :Cx].astype(conv_s.dtype)
+            if n_gd:
+                guid_s[pl.dslice(e, chunk)] = feat[
+                    :, Cx:Cx + Cg].astype(guid_s.dtype)
+            if strided:
+                # shortcut max-pool is chunk-local: write its rows directly
+                short = jnp.max(
+                    feat[:, Cx + Cg:Cx + Cg + Cs].reshape(pts_c, K, Cs),
+                    axis=1)
+                short_ref[pl.dslice(p0, pts_c)] = short.astype(
+                    short_ref.dtype)
+
+            if exact:
+                geo = feat[:, Cf:Cf + Gd]
+            else:  # hi + lo bf16 pair -> f32 (error ~2^-16 relative)
+                geo = feat[:, Cf:Cf + Gd] + feat[:, Cf + Gd:Cf + 2 * Gd]
+            ctr = cx[pl.dslice(p0, pts_c)]               # [pts_c, 3]
+            ctr = jnp.broadcast_to(
+                ctr[:, None, :], (pts_c, K, 3)).reshape(chunk, 3)
+            localized = geo[:, :3] - ctr
+
+            if use_vi:
+                ctrn = cn[pl.dslice(p0, pts_c)]
+                ctrn = jnp.broadcast_to(
+                    ctrn[:, None, :], (pts_c, K, 3)).reshape(chunk, 3)
+                wni = _vi_chunk(localized, geo[:, 3:6], ctrn)
+            else:
+                wni = localized
+
+            wgt_s[pl.dslice(e, chunk)] = _mlp_chunk(
+                wni, wn_w, mm, "relu", prec).astype(wgt_s.dtype)
+            if n_pe:
+                pe_in = wni if pe_on_vi else localized
+                pe_s[pl.dslice(e, chunk)] = _mlp_chunk(
+                    pe_in, pe_w, mm, "relu", prec).astype(pe_s.dtype)
+            elif concat_wni:
+                # PointConv concatenates the WeightNet input itself (PE=VI)
+                pe_s[pl.dslice(e, chunk)] = wni.astype(pe_s.dtype)
+            return ()
+
+        lax.fori_loop(0, n_chunks, geom_body, ())
+
+        if n_gd:
+            Cq = Cg + pe_s.shape[-1]
+
+            def guid_body(j, _):
+                e = j * chunk
+                gx = guid_s[pl.dslice(e, chunk)].astype(jnp.float32)
+                fpe = pe_s[pl.dslice(e, chunk)].astype(jnp.float32)
+                q = jnp.concatenate([gx, fpe], axis=-1)   # [chunk, Cq]
+                q3 = q.reshape(pts_c, K, Cq)
+                if strided:
+                    key = jnp.max(q3, axis=1, keepdims=True)
+                else:
+                    # key = the self (first) neighbor, layers.py:377-378
+                    key = q3[:, :1, :]
+                diff = (q3 - key).reshape(chunk, Cq)
+                sc_s[pl.dslice(e, chunk)] = _mlp_chunk(
+                    diff, gd_w, mm, "sigmoid", prec).astype(sc_s.dtype)
+                return ()
+
+            lax.fori_loop(0, n_chunks, guid_body, ())
+
+        # contraction + projection (whole tile)
+        gath = conv_s[...].astype(jnp.float32).reshape(Mt, K, Cx)
+        if n_gd:
+            sc = sc_s[...].astype(jnp.float32).reshape(Mt, K, H)
+            if Cx // H > 1:
+                if interpret:
+                    sc = jnp.concatenate([sc] * (Cx // H), axis=-1)
+                else:
+                    sc = pltpu.repeat(sc, Cx // H, axis=2)
+            gath = gath * sc
+        if Ct > Cx:
+            extra = pe_s[...].astype(jnp.float32).reshape(Mt, K, Ct - Cx)
+            gath = jnp.concatenate([gath, extra], axis=-1)
+        v = wgt_s[...].astype(jnp.float32).reshape(Mt, K, W)
+        acc = jnp.broadcast_to(lb[...].astype(jnp.float32), (Mt, O))
+        for w in range(W):
+            pc_w = jnp.sum(gath * v[:, :, w:w + 1], axis=1)   # [Mt, Ct]
+            acc = acc + jnp.dot(pc_w.astype(mm), lw3[w].astype(mm),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        if relu_out:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _chunk_for(MtK, Wsz, budget=2 ** 19):
+    chunk = min(MtK, max(128, (budget // max(Wsz, 1)) // 128 * 128))
+    while MtK % chunk:
+        chunk -= 128
+    return chunk
+
+
+def fused_layer_eval(
+    feat_table: jnp.ndarray,       # [N, Cx+Cg+Cs] (order: conv | guid | short)
+    geo_table: jnp.ndarray,        # [N, Gd] f32 (xyz | norms-if-VI)
+    edges,                         # WindowedEdges
+    center_xyz: jnp.ndarray,       # [M, 3] f32
+    center_norm: jnp.ndarray | None,
+    wn: Sequence[tuple],           # folded (w [ci,co], b [co]) pairs
+    pe: Sequence[tuple],
+    gd: Sequence[tuple],
+    linear_w: jnp.ndarray,         # [Ct*W, O] folded with the output BN
+    linear_b: jnp.ndarray,         # [O]
+    *,
+    Cx: int, Cg: int = 0, Cs: int = 0,
+    use_vi: bool, pe_on_vi: bool = True, concat_wni: bool = False,
+    strided: bool = False, num_heads: int = 0, relu_out: bool = True,
+    out_dtype=None, interpret: bool | None = None,
+):
+    """Run one conv layer's hot middle as a single kernel. Returns
+    (out [M, O], shortcut_max [M, Cs] | None)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    T, Wsz = edges.window_rows.shape
+    MtK = edges.localT.shape[-1]
+    M, K = edges.nei.shape
+    Mt = MtK // K
+    assert M == T * Mt, (M, T, Mt)
+    Gd = geo_table.shape[-1]
+    Cf = feat_table.shape[-1]
+    assert Cf == Cx + Cg + Cs, (Cf, Cx, Cg, Cs)
+    W = wn[-1][0].shape[-1]
+    O = linear_b.shape[-1]
+    Cpe = ((12 if use_vi else 3) if concat_wni else
+           (pe[-1][0].shape[-1] if pe else 0))
+    Ct = Cx if gd else Cx + Cpe
+    H = num_heads
+    assert linear_w.shape[0] == Ct * W, (linear_w.shape, Ct, W)
+    has_pe_s = bool(pe) or concat_wni
+    exact = feat_table.dtype != jnp.bfloat16
+
+    geo = geo_table.astype(jnp.float32)
+    if exact:
+        table = jnp.concatenate([feat_table.astype(jnp.float32), geo], -1)
+    else:
+        hi = geo.astype(jnp.bfloat16)
+        lo = (geo - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        table = jnp.concatenate([feat_table, hi, lo], axis=-1)
+    win = jnp.take(table, edges.window_rows, axis=0, mode="clip")
+    chunk = _chunk_for(MtK, Wsz)
+
+    kernel = _make_kernel(
+        K=K, Wsz=Wsz, MtK=MtK, Cx=Cx, Cg=Cg, Cs=Cs, Gd=Gd, H=H, W=W, O=O,
+        Ct=Ct, n_wn=len(wn), n_pe=len(pe), n_gd=len(gd), has_pe_s=has_pe_s,
+        use_vi=use_vi, pe_on_vi=pe_on_vi, concat_wni=concat_wni,
+        strided=strided, relu_out=relu_out, chunk=chunk, exact=exact,
+        interpret=interpret)
+
+    Cw = table.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, Wsz, Cw), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, MtK), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((Mt, 3), lambda t: (t, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [win, edges.localT, center_xyz]
+    if use_vi:
+        in_specs.append(pl.BlockSpec((Mt, 3), lambda t: (t, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(center_norm)
+
+    def _add_params(pairs):
+        for w, b in pairs:
+            in_specs.append(pl.BlockSpec(w.shape, lambda t: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(w)
+            b2 = b.reshape(1, -1)
+            in_specs.append(pl.BlockSpec(b2.shape, lambda t: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(b2)
+
+    _add_params(wn)
+    _add_params(pe)
+    _add_params(gd)
+    lw3 = linear_w.reshape(Ct, W, O).transpose(1, 0, 2)
+    in_specs.append(pl.BlockSpec((W, Ct, O), lambda t: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(lw3)
+    in_specs.append(pl.BlockSpec((1, O), lambda t: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(linear_b.reshape(1, O))
+
+    out_dtype = out_dtype or feat_table.dtype
+    out_shape = [jax.ShapeDtypeStruct((M, O), out_dtype)]
+    out_specs = [pl.BlockSpec((Mt, O), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)]
+    if strided:
+        out_shape.append(jax.ShapeDtypeStruct((M, Cs), out_dtype))
+        out_specs.append(pl.BlockSpec((Mt, Cs), lambda t: (t, 0),
+                                      memory_space=pltpu.VMEM))
+
+    scratch = [pltpu.VMEM((MtK, Cx), feat_table.dtype),   # conv_s
+               pltpu.VMEM((MtK, W), jnp.float32)]         # wgt_s
+    if has_pe_s:
+        scratch.append(pltpu.VMEM((MtK, Cpe), jnp.float32))
+    if gd:
+        scratch.append(pltpu.VMEM((MtK, Cg), feat_table.dtype))  # guid_s
+        scratch.append(pltpu.VMEM((MtK, H), jnp.float32))        # sc_s
+
+    res = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * MtK * Wsz * Cw + 2 * M * K * Ct * W
+            + 2 * M * Ct * W * O,
+            bytes_accessed=T * Wsz * Cw * table.dtype.itemsize
+            + M * (O + Cs) * 4,
+            transcendentals=M * K * (H + 1),
+        ),
+        interpret=interpret,
+    )(*operands)
+    if strided:
+        return res[0], res[1]
+    return res[0], None

@@ -64,7 +64,12 @@ def test_pallas_flag_model_parity(batch):
             list(b.edges_propagate), list(b.norms))
 
     model_ref = PointConvFormer_Segmentation(_cfg(USE_PALLAS_KERNEL=False))
-    model_fused = PointConvFormer_Segmentation(_cfg(USE_PALLAS_KERNEL=True))
+    # fused_min_points=0 forces the kernel at these tiny shapes — the
+    # shape-level dispatch (nn/fused.fused_wins) would otherwise select the
+    # identical XLA path for every layer and the test would compare a model
+    # with itself
+    model_fused = PointConvFormer_Segmentation(
+        _cfg(USE_PALLAS_KERNEL=True, fused_min_points=0))
 
     vs_ref = model_ref.init(jax.random.PRNGKey(0), *args, masks=list(b.masks),
                             train=False)
@@ -148,7 +153,7 @@ def test_pallas_flag_train_step(batch):
     from pcf_tpu.train.loss import cross_entropy_loss
 
     b = batch
-    cfg = _cfg(USE_PALLAS_KERNEL=True)
+    cfg = _cfg(USE_PALLAS_KERNEL=True, fused_min_points=0)
     model = PointConvFormer_Segmentation(cfg)
     args = (b.feats, list(b.points), list(b.edges_self), list(b.edges_forward),
             list(b.edges_propagate), list(b.norms))
