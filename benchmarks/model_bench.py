@@ -36,7 +36,8 @@ def _flops_of(compiled) -> float:
 def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                  compute_dtype: str = "float32", scan_resblocks: bool = True,
                  window: bool = False, remat: bool = False,
-                 remat_layers: bool = False, skip_train: bool = False):
+                 remat_layers: bool = False, skip_train: bool = False,
+                 fused_eval: bool = False):
     import jax
 
     from __graft_entry__ import _flagship
@@ -49,6 +50,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                            n_scenes=n_scenes, window_gather=window)
     cfg.USE_PALLAS_KERNEL = use_pallas
     cfg.window_gather = window
+    cfg.fused_eval = fused_eval
     cfg.compute_dtype = compute_dtype
     cfg.scan_resblocks = scan_resblocks
     cfg.remat_blocks = remat
@@ -158,6 +160,9 @@ def main():
                              "batch >= 8 on a 16 GiB v5e)")
     parser.add_argument("--eval-only", action="store_true",
                         help="skip the train step (batch-sweep eval points)")
+    parser.add_argument("--fused-eval", action="store_true",
+                        help="whole-layer inference megakernel "
+                             "(cfg.fused_eval; needs --window)")
     args = parser.parse_args()
 
     import jax
@@ -173,7 +178,8 @@ def main():
     rows = [bench_config(up, args.points, args.scenes, args.dtype,
                          scan_resblocks=not args.unroll, window=args.window,
                          remat=args.remat, remat_layers=args.remat_layers,
-                         skip_train=args.eval_only)
+                         skip_train=args.eval_only,
+                         fused_eval=args.fused_eval)
             for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
@@ -181,6 +187,7 @@ def main():
         name = "Pallas-fused" if r["use_pallas"] else "XLA-reference"
         name += " bf16" if r["compute_dtype"] == "bfloat16" else ""
         name += " +win" if r.get("window_gather") else ""
+        name += " +FE" if args.fused_eval else ""
         if r.get("hbm_train_gib"):
             mfu_t += (f" | HBM eval {r['hbm_eval_gib']:.2f}"
                       f" train {r['hbm_train_gib']:.2f} GiB")

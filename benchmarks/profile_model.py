@@ -55,6 +55,7 @@ def main():
     p.add_argument("--train", action="store_true")
     p.add_argument("--window", action="store_true")
     p.add_argument("--pallas", action="store_true")
+    p.add_argument("--fused-eval", action="store_true")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--points", type=int, default=20000)
     p.add_argument("--scenes", type=int, default=2)
@@ -76,6 +77,7 @@ def main():
     cfg, batch = _flagship(level0_points=args.points, bucket=4096,
                            n_scenes=args.scenes, window_gather=args.window)
     cfg.USE_PALLAS_KERNEL = args.pallas
+    cfg.fused_eval = args.fused_eval
     cfg.window_gather = args.window
     cfg.compute_dtype = args.dtype
     model = PointConvFormer_Segmentation(cfg)

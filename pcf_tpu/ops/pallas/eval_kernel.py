@@ -123,16 +123,15 @@ def _mlp_chunk(x, weights, mm_dtype, final_act, prec):
 
 
 def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
-                 n_wn, n_pe, n_gd, has_pe_s, use_vi, pe_on_vi, concat_wni,
+                 n_wn, n_pe, n_gd, use_vi, pe_on_vi, concat_wni,
                  strided, relu_out, chunk, exact, interpret):
     """Kernel body builder. Ref layout per grid step (one window tile):
       ins:  win [1, Wsz, Cw], loc [1, 1, MtK],
             cx [Mt, 3], (cn [Mt, 3] if use_vi),
-            (w, b) * n_wn, * n_pe, * n_gd, lw3 [W, Ct, O], lb [1, O]
+            (w, b) * n_wn, * n_pe, * n_gd, lw_wm [W*Ct, O] (w-major), lb [1, O]
       outs: out [Mt, O] (+ short [Mt, Cs] if strided)
-      scratch: conv_s [MtK, Cx], wgt_s [MtK, W],
-               (pe_s [MtK, Cpe] if has_pe_s), (guid_s [MtK, Cg] +
-               sc_s [MtK, H] if n_gd)
+      scratch: conv_s [MtK, Cx], wni_s [MtK, 12|3],
+               (guid_s [MtK, Cg] if n_gd), (short_s [MtK, Cs] if strided)
     Cw = Cx + Cg + Cs + Gd * (1 if exact else 2): the window carries the
     features AND the geometry (f32 slab in exact mode, hi/lo bf16 pair in
     production), so one one-hot matmul resolves everything. Slabs are split
@@ -165,14 +164,13 @@ def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
         if strided:
             short_ref = refs[i]; i += 1
         conv_s = refs[i]; i += 1
-        wgt_s = refs[i]; i += 1
-        pe_s = None
-        if has_pe_s:
-            pe_s = refs[i]; i += 1
-        guid_s = sc_s = None
+        wni_s = refs[i]; i += 1
+        guid_s = None
         if n_gd:
             guid_s = refs[i]; i += 1
-            sc_s = refs[i]; i += 1
+        short_s = None
+        if strided:
+            short_s = refs[i]; i += 1
 
         iota = lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
         wn_w = [(w[...].astype(jnp.float32), b[...].astype(jnp.float32))
@@ -200,12 +198,14 @@ def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
                 guid_s[pl.dslice(e, chunk)] = feat[
                     :, Cx:Cx + Cg].astype(guid_s.dtype)
             if strided:
-                # shortcut max-pool is chunk-local: write its rows directly
-                short = jnp.max(
-                    feat[:, Cx + Cg:Cx + Cg + Cs].reshape(pts_c, K, Cs),
-                    axis=1)
-                short_ref[pl.dslice(p0, pts_c)] = short.astype(
-                    short_ref.dtype)
+                # stash the per-edge shortcut slab; the K-max runs whole-tile
+                # after the loop. (A per-chunk [pts_c, Cs] store into the out
+                # block is a dynamic-offset narrow-row vector_store Mosaic
+                # rejects, and dynamic_update_slice has no TPU lowering —
+                # only the [chunk, c] store pattern of the other scratches
+                # is known-good on the real target.)
+                short_s[pl.dslice(e, chunk)] = feat[
+                    :, Cx + Cg:Cx + Cg + Cs].astype(short_s.dtype)
 
             if exact:
                 geo = feat[:, Cf:Cf + Gd]
@@ -223,45 +223,46 @@ def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
                 wni = _vi_chunk(localized, geo[:, 3:6], ctrn)
             else:
                 wni = localized
-
-            wgt_s[pl.dslice(e, chunk)] = _mlp_chunk(
-                wni, wn_w, mm, "relu", prec).astype(wgt_s.dtype)
-            if n_pe:
-                pe_in = wni if pe_on_vi else localized
-                pe_s[pl.dslice(e, chunk)] = _mlp_chunk(
-                    pe_in, pe_w, mm, "relu", prec).astype(pe_s.dtype)
-            elif concat_wni:
-                # PointConv concatenates the WeightNet input itself (PE=VI)
-                pe_s[pl.dslice(e, chunk)] = wni.astype(pe_s.dtype)
+            wni_s[pl.dslice(e, chunk)] = wni.astype(wni_s.dtype)
             return ()
 
         lax.fori_loop(0, n_chunks, geom_body, ())
+        if strided:
+            sf = short_s[...].astype(jnp.float32).reshape(Mt, K, Cs)
+            short_ref[...] = jnp.max(sf, axis=1).astype(short_ref.dtype)
 
+        # phases B-D run whole-tile: one MXU dot per MLP layer and ONE
+        # projection matmul instead of per-chunk slivers — the chunked v1
+        # serialized ~100 tiny ops per 128-point tile and measured 4x
+        # SLOWER than the XLA path (91.9 vs 23.1 ms flagship eval).
+        # Values are held in `mm` (bf16 in production): every 128-lane-
+        # padded [MtK, c] f32 value costs 1MB of kernel stack, and the f32
+        # variant blew scoped VMEM by 660K at the L1 strided shape. The
+        # numeric contract matches the XLA path, whose activations are bf16
+        # end to end; K-contraction products round to bf16 before the f32
+        # accumulation exactly like ops/pconv.pconv(precision=None).
+        wni = wni_s[...]                               # [MtK, 12|3] f32
+        wgt = _mlp_chunk(wni, wn_w, mm, "relu", prec).astype(mm)
+        pe_v = None
+        if n_pe:
+            pe_in = wni if pe_on_vi else wni[:, 9:12] if use_vi else wni
+            pe_v = _mlp_chunk(pe_in, pe_w, mm, "relu", prec).astype(mm)
+        elif concat_wni:
+            pe_v = wni.astype(mm)
+
+        gath = conv_s[...].astype(mm).reshape(Mt, K, Cx)
         if n_gd:
-            Cq = Cg + pe_s.shape[-1]
-
-            def guid_body(j, _):
-                e = j * chunk
-                gx = guid_s[pl.dslice(e, chunk)].astype(jnp.float32)
-                fpe = pe_s[pl.dslice(e, chunk)].astype(jnp.float32)
-                q = jnp.concatenate([gx, fpe], axis=-1)   # [chunk, Cq]
-                q3 = q.reshape(pts_c, K, Cq)
-                if strided:
-                    key = jnp.max(q3, axis=1, keepdims=True)
-                else:
-                    # key = the self (first) neighbor, layers.py:377-378
-                    key = q3[:, :1, :]
-                diff = (q3 - key).reshape(chunk, Cq)
-                sc_s[pl.dslice(e, chunk)] = _mlp_chunk(
-                    diff, gd_w, mm, "sigmoid", prec).astype(sc_s.dtype)
-                return ()
-
-            lax.fori_loop(0, n_chunks, guid_body, ())
-
-        # contraction + projection (whole tile)
-        gath = conv_s[...].astype(jnp.float32).reshape(Mt, K, Cx)
-        if n_gd:
-            sc = sc_s[...].astype(jnp.float32).reshape(Mt, K, H)
+            q = jnp.concatenate([guid_s[...].astype(mm), pe_v], axis=-1)
+            Cq = q.shape[-1]
+            q3 = q.reshape(Mt, K, Cq)
+            if strided:
+                key = jnp.max(q3, axis=1, keepdims=True)
+            else:
+                # key = the self (first) neighbor, layers.py:377-378
+                key = q3[:, :1, :]
+            diff = (q3 - key).reshape(MtK, Cq)
+            sc = _mlp_chunk(diff, gd_w, mm, "sigmoid", prec)  # [MtK, H] f32
+            sc = sc.astype(mm).reshape(Mt, K, H)
             if Cx // H > 1:
                 if interpret:
                     sc = jnp.concatenate([sc] * (Cx // H), axis=-1)
@@ -269,15 +270,20 @@ def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
                     sc = pltpu.repeat(sc, Cx // H, axis=2)
             gath = gath * sc
         if Ct > Cx:
-            extra = pe_s[...].astype(jnp.float32).reshape(Mt, K, Ct - Cx)
+            extra = pe_v.reshape(Mt, K, Ct - Cx)
             gath = jnp.concatenate([gath, extra], axis=-1)
-        v = wgt_s[...].astype(jnp.float32).reshape(Mt, K, W)
-        acc = jnp.broadcast_to(lb[...].astype(jnp.float32), (Mt, O))
-        for w in range(W):
-            pc_w = jnp.sum(gath * v[:, :, w:w + 1], axis=1)   # [Mt, Ct]
-            acc = acc + jnp.dot(pc_w.astype(mm), lw3[w].astype(mm),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)
+
+        # K-contraction on the VPU per weight column, then ONE projection:
+        # the pconv slabs lane-concat into [Mt, W*Ct] (w-major) and hit the
+        # MXU against the w-major-permuted linear weight
+        v3 = wgt.reshape(Mt, K, W)
+        pcs = [jnp.sum((gath * v3[:, :, w:w + 1]).astype(jnp.float32),
+                       axis=1).astype(mm)
+               for w in range(W)]
+        pc = jnp.concatenate(pcs, axis=-1)            # [Mt, W*Ct]
+        acc = jnp.dot(pc, lw3[...].astype(mm),
+                      preferred_element_type=jnp.float32,
+                      precision=prec) + lb[...].astype(jnp.float32)
         if relu_out:
             acc = jnp.maximum(acc, 0.0)
         out_ref[...] = acc.astype(out_ref.dtype)
@@ -285,7 +291,9 @@ def _make_kernel(*, K, Wsz, MtK, Cx, Cg, Cs, Gd, H, W, O, Ct,
     return kernel
 
 
-def _chunk_for(MtK, Wsz, budget=2 ** 19):
+def _chunk_for(MtK, Wsz, budget=2 ** 18):
+    """Edge chunk sized so the [Wsz, chunk] one-hot + int32 iota stay ~1.5MB
+    (2^19 OOM'd scoped VMEM by 656K at the L3 resblock shape on chip)."""
     chunk = min(MtK, max(128, (budget // max(Wsz, 1)) // 128 * 128))
     while MtK % chunk:
         chunk -= 128
@@ -328,7 +336,6 @@ def fused_layer_eval(
     Ct = Cx if gd else Cx + Cpe
     H = num_heads
     assert linear_w.shape[0] == Ct * W, (linear_w.shape, Ct, W)
-    has_pe_s = bool(pe) or concat_wni
     exact = feat_table.dtype != jnp.bfloat16
 
     geo = geo_table.astype(jnp.float32)
@@ -343,7 +350,7 @@ def fused_layer_eval(
 
     kernel = _make_kernel(
         K=K, Wsz=Wsz, MtK=MtK, Cx=Cx, Cg=Cg, Cs=Cs, Gd=Gd, H=H, W=W, O=O,
-        Ct=Ct, n_wn=len(wn), n_pe=len(pe), n_gd=len(gd), has_pe_s=has_pe_s,
+        Ct=Ct, n_wn=len(wn), n_pe=len(pe), n_gd=len(gd),
         use_vi=use_vi, pe_on_vi=pe_on_vi, concat_wni=concat_wni,
         strided=strided, relu_out=relu_out, chunk=chunk, exact=exact,
         interpret=interpret)
@@ -375,10 +382,13 @@ def fused_layer_eval(
     _add_params(wn)
     _add_params(pe)
     _add_params(gd)
-    lw3 = linear_w.reshape(Ct, W, O).transpose(1, 0, 2)
-    in_specs.append(pl.BlockSpec((W, Ct, O), lambda t: (0, 0, 0),
+    # w-major permutation so the in-kernel [Mt, W*Ct] pconv concat hits one
+    # projection matmul (the c-major [Ct*W] order is the pconv output
+    # contract; the permutation happens once here, at trace time)
+    lw_wm = linear_w.reshape(Ct, W, O).transpose(1, 0, 2).reshape(W * Ct, O)
+    in_specs.append(pl.BlockSpec((W * Ct, O), lambda t: (0, 0),
                                  memory_space=pltpu.VMEM))
-    operands.append(lw3)
+    operands.append(lw_wm)
     in_specs.append(pl.BlockSpec((1, O), lambda t: (0, 0),
                                  memory_space=pltpu.VMEM))
     operands.append(linear_b.reshape(1, O))
@@ -392,13 +402,19 @@ def fused_layer_eval(
         out_specs.append(pl.BlockSpec((Mt, Cs), lambda t: (t, 0),
                                       memory_space=pltpu.VMEM))
 
-    scratch = [pltpu.VMEM((MtK, Cx), feat_table.dtype),   # conv_s
-               pltpu.VMEM((MtK, W), jnp.float32)]         # wgt_s
-    if has_pe_s:
-        scratch.append(pltpu.VMEM((MtK, Cpe), jnp.float32))
+    # Scratch dtype follows the table (bf16 halves every 128-lane-padded
+    # scratch — the L3 resblock shape OOM'd scoped VMEM with f32 scratches);
+    # the VI features stay f32 even in bf16 mode: the XLA path computes VI
+    # in f32 and casts once at the stage boundary, and theta magnitudes span
+    # enough range that an extra bf16 round-trip here would double-round
+    # every downstream MLP input.
+    sdt = feat_table.dtype
+    scratch = [pltpu.VMEM((MtK, Cx), sdt),                        # conv_s
+               pltpu.VMEM((MtK, 12 if use_vi else 3), jnp.float32)]  # wni_s
     if gd:
-        scratch.append(pltpu.VMEM((MtK, Cg), feat_table.dtype))  # guid_s
-        scratch.append(pltpu.VMEM((MtK, H), jnp.float32))        # sc_s
+        scratch.append(pltpu.VMEM((MtK, Cg), sdt))  # guid_s
+    if strided:
+        scratch.append(pltpu.VMEM((MtK, Cs), sdt))  # short_s
 
     res = pl.pallas_call(
         kernel,
