@@ -108,10 +108,14 @@ def main():
     )(vs, batch)
     vs = {"params": vs["params"], "batch_stats": upd["batch_stats"]}
 
-    from pcf_tpu.utils.timing import time_fn
+    from pcf_tpu.utils.timing import time_fn_stats
 
     fwd = jax.jit(lambda v, b: apply(v, b, False))
-    dt = time_fn(fwd, vs, batch, iters=10)
+    # >=5 repetitions with spread: run-to-run drift through the device relay
+    # is ±1.5% for byte-identical programs (RESULTS.md r3), so the headline
+    # carries min/max to make round-over-round deltas interpretable.
+    st = time_fn_stats(fwd, vs, batch, iters=10, reps=5)
+    dt = st["median"]
 
     valid_points = int(batch.masks[0].sum())
     pts_per_sec = valid_points / dt
@@ -120,6 +124,10 @@ def main():
         "value": round(pts_per_sec, 1),
         "unit": "points/sec",
         "ms_per_batch": round(dt * 1e3, 2),
+        "ms_min": round(st["min"] * 1e3, 2),
+        "ms_max": round(st["max"] * 1e3, 2),
+        "pts_per_sec_min": round(valid_points / st["max"], 1),
+        "pts_per_sec_max": round(valid_points / st["min"], 1),
         "valid_points": valid_points,
         "vs_baseline": round(pts_per_sec / REF_A100_PTS_PER_SEC, 3),
         "baseline_derivation": "tools/baseline_model.py (0.73M pts/s, ~2x band)",

@@ -29,9 +29,9 @@ def evaluate(cfg, pretrain_path: str | None = None, split: str = "validation",
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      cfg.get("compile_cache_dir", "/tmp/pcf_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from pcf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(cfg)
 
     from pcf_tpu.core.batching import pack_scenes
     from pcf_tpu.data.scannet import ScanNetDataset

@@ -48,9 +48,9 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      cfg.get("compile_cache_dir", "/tmp/pcf_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from pcf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(cfg)
 
     from pcf_tpu.core.batching import pack_scenes
     from pcf_tpu.data.pyramid import scene_to_item
@@ -153,61 +153,68 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                 jobs.append((chunk_item, chunk["crop_idx"]))
         return jobs
 
-    pool = ThreadPoolExecutor(max_workers=int(cfg.get("eval_workers", 8)))
-    submit = lambda idx: [pool.submit(_vote_jobs, idx, ds) for ds in datasets]
-    pending = submit(0)
+    # `with` guarantees the prefetch workers and in-flight futures are torn
+    # down even when a forward / checkpoint error aborts mid-scene
+    # (a bare pool.shutdown on the clean path leaked workers on error).
+    with ThreadPoolExecutor(
+            max_workers=int(cfg.get("eval_workers", 8))) as pool:
+        submit = lambda idx: [pool.submit(_vote_jobs, idx, ds)
+                              for ds in datasets]
+        pending = submit(0)
 
-    for idx in range(n_scenes):
-        raw_n = datasets[0].raw_coord(idx).shape[0]
-        accum = np.zeros((raw_n, cfg.num_classes), np.float64)
-        counts = np.zeros(raw_n, np.float64)
+        for idx in range(n_scenes):
+            raw_n = datasets[0].raw_coord(idx).shape[0]
+            accum = np.zeros((raw_n, cfg.num_classes), np.float64)
+            counts = np.zeros(raw_n, np.float64)
 
-        futs, pending = pending, (submit(idx + 1) if idx + 1 < n_scenes else [])
-        jobs = [j for f in futs for j in f.result()]
+            futs, pending = pending, (
+                submit(idx + 1) if idx + 1 < n_scenes else [])
+            jobs = [j for f in futs for j in f.result()]
 
-        for g0 in range(0, len(jobs), vote_batch):
-            group = jobs[g0:g0 + vote_batch]
-            batch = pack_scenes([j[0] for j in group],
-                                bucket_multiple=cfg.bucket_multiple,
-                                ignore_label=cfg.ignore_label)
-            ensure_variables(batch)
-            t0 = _time.time()
-            probs = fwd(variables, batch.feats, list(batch.points),
-                        list(batch.edges_self), list(batch.edges_forward),
-                        list(batch.edges_propagate), list(batch.norms),
-                        list(batch.masks))
-            jax.block_until_ready(probs)
-            fwd_s += _time.time() - t0
-            n_fwd += 1
-            # rows of scene j are contiguous and in input order; bid == j
-            # selects exactly its valid rows
-            bids = np.asarray(batch.bids[0])
-            pr = np.asarray(probs)
-            for j, (_, crop_idx) in enumerate(group):
-                accum[crop_idx] += pr[bids == j]
-                counts[crop_idx] += 1.0
+            for g0 in range(0, len(jobs), vote_batch):
+                group = jobs[g0:g0 + vote_batch]
+                batch = pack_scenes([j[0] for j in group],
+                                    bucket_multiple=cfg.bucket_multiple,
+                                    ignore_label=cfg.ignore_label)
+                ensure_variables(batch)
+                t0 = _time.time()
+                probs = fwd(variables, batch.feats, list(batch.points),
+                            list(batch.edges_self), list(batch.edges_forward),
+                            list(batch.edges_propagate), list(batch.norms),
+                            list(batch.masks))
+                jax.block_until_ready(probs)
+                fwd_s += _time.time() - t0
+                n_fwd += 1
+                # rows of scene j are contiguous and in input order; bid == j
+                # selects exactly its valid rows
+                bids = np.asarray(batch.bids[0])
+                pr = np.asarray(probs)
+                for j, (_, crop_idx) in enumerate(group):
+                    accum[crop_idx] += pr[bids == j]
+                    counts[crop_idx] += 1.0
 
-        assert counts.min() > 0, "voting must cover every raw point"
-        pred = accum.argmax(-1)
-        raw_labels = datasets[0].data[idx][3]
-        i, u, t = intersection_and_union(
-            jnp.asarray(pred), jnp.asarray(raw_labels), cfg.num_classes,
-            cfg.ignore_label)
-        inter_sum += np.asarray(i)
-        union_sum += np.asarray(u)
-        target_sum += np.asarray(t)
+            assert counts.min() > 0, "voting must cover every raw point"
+            pred = accum.argmax(-1)
+            raw_labels = datasets[0].data[idx][3]
+            i, u, t = intersection_and_union(
+                jnp.asarray(pred), jnp.asarray(raw_labels), cfg.num_classes,
+                cfg.ignore_label)
+            inter_sum += np.asarray(i)
+            union_sum += np.asarray(u)
+            target_sum += np.asarray(t)
 
-        name = os.path.basename(str(datasets[0].scene_name(idx)))
-        if write_outputs:
-            np.save(os.path.join(eval_dir, f"{name}_probs.npy"),
-                    (accum / np.maximum(counts[:, None], 1)).astype(np.float32))
-            write_ply_color(os.path.join(eval_dir, f"{name}.ply"),
-                            datasets[0].raw_coord(idx), pred)
-            write_labels_txt(os.path.join(eval_dir, f"{name}.txt"), pred)
-        logger.info(f"{idx + 1}/{n_scenes} {name}: {raw_n} raw pts, "
-                    f"miou so far {np.mean(inter_sum / np.maximum(union_sum, 1)):.4f}")
+            name = os.path.basename(str(datasets[0].scene_name(idx)))
+            if write_outputs:
+                np.save(os.path.join(eval_dir, f"{name}_probs.npy"),
+                        (accum / np.maximum(counts[:, None], 1)
+                         ).astype(np.float32))
+                write_ply_color(os.path.join(eval_dir, f"{name}.ply"),
+                                datasets[0].raw_coord(idx), pred)
+                write_labels_txt(os.path.join(eval_dir, f"{name}.txt"), pred)
+            logger.info(
+                f"{idx + 1}/{n_scenes} {name}: {raw_n} raw pts, miou so far "
+                f"{np.mean(inter_sum / np.maximum(union_sum, 1)):.4f}")
 
-    pool.shutdown(wait=True)
     iou = inter_sum / np.maximum(union_sum, 1)
     miou = float(iou.mean())
     logger.info(

@@ -55,9 +55,12 @@ def _fold_linbn(params, stats):
 
 def _read(layer, name):
     p = layer.scope.get_variable("params", name)
-    try:
+    # Explicit collection-presence check (a bare except here would silently
+    # fold Linear+BN without the running stats on any unexpected error,
+    # producing wrong inference outputs instead of raising).
+    if layer.scope.has_variable("batch_stats", name):
         s = layer.scope.get_variable("batch_stats", name)
-    except Exception:
+    else:
         s = None
     return p, s
 

@@ -323,6 +323,12 @@ def fused_layer_eval(
         interpret = jax.default_backend() == "cpu"
     T, Wsz = edges.window_rows.shape
     MtK = edges.localT.shape[-1]
+    # Direct callers bypass the fused_eval_ok model gate; fail fast instead
+    # of letting _chunk_for walk its chunk down to a ZeroDivisionError.
+    if MtK % 128:
+        raise ValueError(
+            f"fused_layer_eval needs tile_rows*K (MtK={MtK}) % 128 == 0; "
+            "build the WindowedEdges with a 128-multiple tile*K")
     M, K = edges.nei.shape
     Mt = MtK // K
     assert M == T * Mt, (M, T, Mt)

@@ -213,9 +213,10 @@ def main(cfg):
 
     # Persistent compilation cache: restarts/resumes skip the multi-minute
     # first compile of the train/eval steps (same setting bench.py uses).
-    jax.config.update("jax_compilation_cache_dir",
-                      cfg.get("compile_cache_dir", "/tmp/pcf_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Respects a user-configured cache dir (utils/cache.py).
+    from pcf_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache(cfg)
 
     from pcf_tpu.data.scannet import getdataLoaders
     from pcf_tpu.models import PointConvFormer_Segmentation

@@ -37,9 +37,14 @@ def readback_overhead(n: int = 5) -> float:
     return min(ts)
 
 
-def time_fn(f, *args, iters: int = 10, reps: int = 3,
-            overhead: float | None = None) -> float:
-    """Median-of-reps per-iteration wall seconds for f(*args)."""
+def time_fn_stats(f, *args, iters: int = 10, reps: int = 3,
+                  overhead: float | None = None) -> dict:
+    """Per-iteration wall seconds for f(*args): median + spread over reps.
+
+    Returns {"median", "min", "max", "reps"} — the spread makes
+    round-over-round deltas interpretable (byte-identical programs measure
+    with ±1.5% run-to-run drift through the device relay, RESULTS.md r3;
+    a headline without spread can't distinguish that from a regression)."""
     if overhead is None:
         overhead = readback_overhead()
     _force(f(*args))  # compile + warm
@@ -50,6 +55,14 @@ def time_fn(f, *args, iters: int = 10, reps: int = 3,
         for _ in range(iters):
             out = f(*args)
         _force(out)
-        ts.append((time.perf_counter() - t0 - overhead) / iters)
+        ts.append(max((time.perf_counter() - t0 - overhead) / iters, 1e-9))
     ts.sort()
-    return max(ts[len(ts) // 2], 1e-9)
+    return {"median": ts[len(ts) // 2], "min": ts[0], "max": ts[-1],
+            "reps": ts}
+
+
+def time_fn(f, *args, iters: int = 10, reps: int = 3,
+            overhead: float | None = None) -> float:
+    """Median-of-reps per-iteration wall seconds for f(*args)."""
+    return time_fn_stats(f, *args, iters=iters, reps=reps,
+                         overhead=overhead)["median"]
