@@ -61,8 +61,14 @@ def main():
     cfg.compute_dtype = args.dtype
 
     def build(fused_eval: bool):
-        cfg.fused_eval = fused_eval
-        model = PointConvFormer_Segmentation(cfg)
+        # each model gets its OWN config: flax modules hold the reference,
+        # and both programs are traced lazily — a shared mutated cfg made
+        # the "standard" path fire the kernel too
+        import copy
+
+        c = copy.deepcopy(cfg)
+        c.fused_eval = fused_eval
+        model = PointConvFormer_Segmentation(c)
 
         def apply(v, b):
             return model.apply(v, b.feats, list(b.points),
