@@ -53,7 +53,6 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     enable_compile_cache(cfg)
 
     from pcf_tpu.core.batching import pack_scenes
-    from pcf_tpu.data.pyramid import scene_to_item
     from pcf_tpu.data.scannet import ScanNetDataset
     from pcf_tpu.eval.io import write_labels_txt, write_ply_color
     from pcf_tpu.models import PointConvFormer_Segmentation
@@ -113,6 +112,19 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     # one-covering-set-per-forward (test_ScanNet_voting.py:222-249), which
     # is also the fastest here; the knob remains for fat-batch experiments.
     vote_batch = int(cfg.get("vote_batch", 1))
+    device_prep = cfg.get("post_knn") or cfg.get("device_pyramid")
+    if device_prep:
+        from pcf_tpu.config import Config
+        from pcf_tpu.data.post_knn import prepare as _post_prepare
+
+        # prepare() sizes the per-scene voxel hash by cfg.BATCH_SIZE; the
+        # voting group is vote_batch scenes (tail groups are smaller —
+        # a static count >= actual just leaves empty segments)
+        _pcfg = Config(cfg)
+        _pcfg.BATCH_SIZE = max(vote_batch, 1)
+
+        def _prepare(b, _cfg_ignored=None):
+            return _post_prepare(b, _pcfg)
 
     inter_sum = np.zeros(cfg.num_classes)
     union_sum = np.zeros(cfg.num_classes)
@@ -134,19 +146,20 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
         for item in ds[idx]:  # list of covering-set items
             for chunk in _chunk_item(item, cfg.MAX_POINTS_NUM):
                 if "_slice" in chunk:
-                    # Oversized covering set: rebuild the pyramid from the
+                    # Oversized covering set: rebuild the item from the
                     # sliced level-0 points. (Slicing the existing pyramid
                     # would keep stale edges into points outside the
                     # chunk; the reference instead chunks pre-pyramid,
                     # test_ScanNet_voting.py:35-73 — same semantics.)
+                    # _build_item is mode-aware: under device_pyramid /
+                    # post_knn it ships level 0 only and the pyramid is
+                    # rebuilt on the chip below.
                     s, e = chunk.pop("_slice")
-                    chunk_item = scene_to_item(
+                    chunk_item = ds._build_item(
                         item["point_list"][0][s:e],
                         item["surface_normal_list"][0][s:e],
                         item["feature_list"][s:e],
-                        item["label_list"][s:e],
-                        cfg.grid_size, cfg.get("K_self", 16),
-                        cfg.get("K_forward", 16), cfg.get("K_propagate", 16))
+                        item["label_list"][s:e])
                 else:
                     chunk_item = {k: v for k, v in chunk.items()
                                   if k != "crop_idx"}
@@ -176,6 +189,13 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                 batch = pack_scenes([j[0] for j in group],
                                     bucket_multiple=cfg.bucket_multiple,
                                     ignore_label=cfg.ignore_label)
+                if device_prep:
+                    # on-device pyramid/edges (items carry level 0 only) —
+                    # the per-(scene, rotation) covering-set builds were the
+                    # 5x host-bound term in the r3 voting wall (357 s wall vs
+                    # 70 s device, RESULTS.md r3); this moves them onto the
+                    # chip like the trainer's _post_knn_fn / simple eval
+                    batch = _prepare(batch, cfg)
                 ensure_variables(batch)
                 t0 = _time.time()
                 probs = fwd(variables, batch.feats, list(batch.points),

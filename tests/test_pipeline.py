@@ -236,6 +236,42 @@ def test_voting_eval_covers_all_points(scene_dir, tmp_path):
             np.load(os.path.join(cfg.eval_path, f)), arr, atol=1e-6)
 
 
+def test_voting_eval_device_pyramid(scene_dir, tmp_path):
+    """Voting with the on-device pyramid (VERDICT r3 #4: the per-(scene,
+    rotation) covering-set builds were the 5x host-bound term): items ship
+    level 0 only, subsample + kNN run on device, coverage and accumulation
+    semantics are unchanged. MAX_POINTS_NUM forces the oversized-chunk
+    rebuild path through the mode-aware _build_item."""
+    import jax
+
+    from pcf_tpu.data.scannet import ScanNetDataset, PackedLoader
+    from pcf_tpu.eval.voting import evaluate_voting
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = _cfg(scene_dir, device_pyramid=True, knn_method="exact",
+               MAX_POINTS_NUM=300)
+    ds = ScanNetDataset(cfg, "validation", seed=0)
+    loader = PackedLoader(ds, 1, bucket_multiple=256, shuffle=False,
+                          drop_last=False)
+    batch = next(iter(loader))
+    from pcf_tpu.data.post_knn import prepare
+    batch = prepare(batch, cfg)
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    tx, _ = make_optimizer(cfg, 1)
+    state = create_train_state(variables, tx)
+
+    cfg.eval_path = str(tmp_path / "vote_eval_device")
+    miou = evaluate_voting(cfg, state=state, vote_num=2, max_scenes=1)
+    assert 0.0 <= miou <= 1.0
+    assert any(f.endswith("_probs.npy") for f in os.listdir(cfg.eval_path))
+
+
 def test_pinned_level_caps_identical_shapes(scene_dir):
     """Mesh-mode requirement (VERDICT r1 #4): with pin_level_caps, every
     batch from both loaders has identical static shapes, so stack_batches

@@ -35,17 +35,28 @@ run mb_win_fused  python benchmarks/model_bench.py --pallas on  --window --dtype
 run scale_2cm     python benchmarks/scale_bench.py --mode 2cm   --dtype bfloat16 --window --pallas --remat --remat-layers
 run scale_large   python benchmarks/scale_bench.py --mode large --dtype bfloat16 --window --remat --remat-layers --scenes 1
 run profile_eval  python benchmarks/profile_model.py --window --dtype bfloat16
-# batched-voting speedup measurement: one covering-set chunk per forward
-# (reference behavior, test_ScanNet_voting.py:222-249) vs vote_batch=4.
-# Two passes each: the first populates the persistent compile cache, the
-# second ("warm") is the steady-state wall the RESULTS.md table reports.
+# train-step profile (VERDICT r3 #3: the committed profile was eval-only)
+run profile_train python benchmarks/profile_model.py --train --window --dtype bfloat16
+# practical HBM ceiling: is the eval's ~370 GB/s padded traffic at the
+# wall, or is there real headroom? (interprets the r3 layout study)
+run hbm_peak      python benchmarks/hbm_peak.py
+# Voting TTA walls. vote_batch=4 measured a 3.5x LOSS in r3 (one compile
+# per chunk-size combination + per-level group-cap padding, RESULTS.md) and
+# is not re-fired. Two passes each: the first populates the persistent
+# compile cache, the second ("warm") is the steady-state wall RESULTS.md
+# reports. The "dev" pair runs the r4 de-hosted path: per-(scene, rotation)
+# covering-set pyramid/kNN builds on the chip (cfg.device_pyramid wired
+# into eval/voting.py — voting was 5x host-bound on this 1-vCPU machine).
 for pass in cold warm; do
-  for vb in 1 4; do
-    run vote_${pass}_b$vb python -m pcf_tpu.eval.voting \
-        --config pcf_tpu/configs/synth_demo.yaml \
-        --pretrain_path experiments/synth_demo/model --vote_num 3 \
-        --set vote_batch=$vb --set eval_path=/tmp/battery/vote_${pass}_b$vb
-  done
+  run vote_${pass}_b1 python -m pcf_tpu.eval.voting \
+      --config pcf_tpu/configs/synth_demo.yaml \
+      --pretrain_path experiments/synth_demo/model --vote_num 3 \
+      --set vote_batch=1 --set eval_path=/tmp/battery/vote_${pass}_b1
+  run vote_dev_${pass} python -m pcf_tpu.eval.voting \
+      --config pcf_tpu/configs/synth_demo.yaml \
+      --pretrain_path experiments/synth_demo/model --vote_num 3 \
+      --set device_pyramid=true \
+      --set eval_path=/tmp/battery/vote_dev_${pass}
 done
 # ModelNet10-analog accuracy proof: 4 synthetic shape classes to >=90%
 # held-out accuracy (reference tests_pointconv/test_modelnet10.py:307-450)
