@@ -112,6 +112,11 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # VI + WeightNet/PE/guidance MLPs (BN folded) + contraction + linear in
     # one Pallas kernel. Inference-only; needs window_gather batches.
     cfg.setdefault("fused_eval", False)
+    # Flat-lane stage geometry (r4): hoisted localize -> VI -> WeightNet in
+    # k-major [M, K*c] lanes (unpadded) instead of [M, K, c] (lane-padded
+    # 8-42x when materialized). Needs window_gather; parity-pinned by
+    # tests/test_flatgeom.py.
+    cfg.setdefault("flat_geom", False)
     return cfg
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from pcf_tpu.nn.layers import (
@@ -27,6 +28,7 @@ from pcf_tpu.nn.layers import (
 from pcf_tpu.nn.norm import LinearBN
 from pcf_tpu.nn.resstack import ResBlockStack
 from pcf_tpu.ops.gather import index_points, index_points_multi
+from pcf_tpu.ops.window import WindowedEdges
 from pcf_tpu.ops.vi_transform import VI_coordinate_transform
 from pcf_tpu.config import as_config
 
@@ -88,6 +90,28 @@ def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
     # (profiled ~1 ms/block at flagship scale). The blocks' own astype then
     # no-ops. Geometry math itself (localization, VI) stays f32.
     dtype = None if cfg is None else _dtype_of(cfg)
+    if (cfg is not None and cfg.get("flat_geom")
+            and isinstance(nei_inds, WindowedEdges)):
+        # Flat-lane stage geometry (r4): the whole localize -> VI chain in
+        # k-major [M, K*c] layout — K*12 = 192 lanes pad 1.33x where the
+        # 3-D [M, K, 3/12] forms pad 8-42x (RESULTS.md r3/r4). Geometry is
+        # gradient-free data, so the flat window gather needs no VJP.
+        from pcf_tpu.ops.vi_transform import (localize_flat, split_geom_flat,
+                                              vi_transform_flat)
+        from pcf_tpu.ops.window import windowed_take_flat
+
+        if use_vi:
+            table = jnp.concatenate([src_xyz, src_norms], axis=-1)
+            flat6 = jax.lax.stop_gradient(windowed_take_flat(table, nei_inds))
+            gx, gn = split_geom_flat(flat6)
+            localized = localize_flat(gx, xyz)
+            vi = vi_transform_flat(localized, gn, norms)
+            if dtype is not None:
+                localized, vi = localized.astype(dtype), vi.astype(dtype)
+            return localized, vi
+        flat3 = jax.lax.stop_gradient(windowed_take_flat(src_xyz, nei_inds))
+        localized = localize_flat(flat3, xyz)
+        return (localized if dtype is None else localized.astype(dtype)), None
     if use_vi:
         gx, gn = index_points_multi([src_xyz, src_norms], nei_inds)
         localized = gx - xyz[:, None, :]

@@ -139,6 +139,22 @@ def _gathered_inputs(nei_inds, dense_xyz, center_xyz, feat_tensors,
     return localized_xyz, gathered_norm, got[i:]
 
 
+def _flat_k(weight_net_input, nei_inds) -> int:
+    """K when the hoisted geometry arrived in flat-lane layout [M, K*c]
+    (models/backbone._stage_geometry under cfg.flat_geom), else 0. Flat
+    geometry keeps the whole VI -> WeightNet chain on unpadded k-major
+    lanes; the only unfolds back to [M, K, c] happen at the contraction /
+    feature-concat boundaries (see _unfold)."""
+    if weight_net_input is not None and weight_net_input.ndim == 2:
+        return int(nei_inds.shape[1])
+    return 0
+
+
+def _unfold(x, K: int):
+    """[M, K*c] k-major flat -> [M, K, c]."""
+    return x.reshape(x.shape[0], K, x.shape[-1] // K)
+
+
 def _weightnet_input(cfg, localized_xyz, gathered_norm, center_norm,
                      vi_features):
     """VI features (12-d) or raw relative coords (3-d), with per-stage caching
@@ -215,10 +231,15 @@ class PointConv(nn.Module):
                                                       center_norm))
         else:
             weightNetInput = localized_xyz
+        flatK = _flat_k(weightNetInput, nei_inds)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=cfg.get("bn_axis_name"),
+                            flat_k=flatK,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
+        if flatK:
+            weights = _unfold(weights, flatK)
+            weightNetInput = _unfold(weightNetInput, flatK)
 
         if use_pallas:
             # fused gather+PE+contraction+linear (Pallas; the reference's
@@ -327,16 +348,21 @@ class PointConvStridePE(nn.Module):
             need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
+        flatK = _flat_k(weightNetInput, nei_inds)
 
         # positional encoding branch (layers.py:575-577,669)
         feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
                             efficient=True, use_bn=cfg.BATCH_NORM, dtype=dtype,
-                            axis_name=axis_name, name="pe_convs")(
+                            axis_name=axis_name, flat_k=flatK, name="pe_convs")(
             localized_xyz, mask=out_mask, train=train)
 
         weights = WeightNet(self.weightnet[1], efficient=True,
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
+                            flat_k=flatK,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
+        if flatK:
+            feat_pe = _unfold(feat_pe, flatK)
+            weights = _unfold(weights, flatK)
 
         if use_pallas:
             new_feat = FusedConvLinear(
@@ -464,12 +490,15 @@ class PCFLayer(nn.Module):
             need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, center_norm, vi_features)
+        flatK = _flat_k(weightNetInput, nei_inds)
 
         # lift the 12-d VI coords to the guidance feature length (layers.py:361-362)
         feat_pe = LinearBN(self.guidance_feat_len, use_bn=cfg.BATCH_NORM, dtype=dtype,
-                           axis_name=axis_name, name="mlp_conv")(
+                           axis_name=axis_name, flat_k=flatK, name="mlp_conv")(
             weightNetInput, mask=out_mask, train=train)
         feat_pe = nn.relu(feat_pe)
+        if flatK:  # the guidance concat below joins the 3-D feature path
+            feat_pe = _unfold(feat_pe, flatK)
 
         gathered_feat2 = gfeats[0]  # [M, K, gfl]
         guidance_feature = jnp.concatenate([gathered_feat2, feat_pe], axis=-1)
@@ -497,7 +526,10 @@ class PCFLayer(nn.Module):
 
         weights = WeightNet(self.weightnet[1], efficient=True,
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
+                            flat_k=flatK,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
+        if flatK:
+            weights = _unfold(weights, flatK)
 
         # HOT: gather + guidance modulation + K-contraction (layers.py:386-392)
         if use_pallas:
@@ -601,18 +633,29 @@ class PointConvTransposePE(nn.Module):
             need_norm=cfg.USE_VI and vi_features is None)
         weightNetInput = _weightnet_input(
             cfg, localized_xyz, gathered_norm, dense_xyz_norm, vi_features)
+        # hoisted flat VI can arrive while the in-layer localized gather is
+        # 3-D (decoder edges are never stage-hoisted); flat applies to the
+        # weightnet branch only
+        flatK = _flat_k(weightNetInput, nei_inds)
 
         feat_pe = None
         if cfg.USE_PE:
             last_ch = min(self.out_channel // 4, 32)
             feat_pe = WeightNet(last_ch, hidden_unit=(self.out_channel // 4,),
                                 efficient=True, use_bn=cfg.BATCH_NORM, dtype=dtype,
-                                axis_name=axis_name, name="pe_convs")(
+                                axis_name=axis_name,
+                                flat_k=_flat_k(localized_xyz, nei_inds),
+                                name="pe_convs")(
                 localized_xyz, mask=out_mask, train=train)
+            if localized_xyz.ndim == 2:
+                feat_pe = _unfold(feat_pe, int(nei_inds.shape[1]))
 
         weights = WeightNet(self.weightnet[1], efficient=True,
                             use_bn=cfg.BATCH_NORM, dtype=dtype, axis_name=axis_name,
+                            flat_k=flatK,
                             name="weightnet")(weightNetInput, mask=out_mask, train=train)
+        if flatK:
+            weights = _unfold(weights, flatK)
 
         if use_pallas:
             new_feat = FusedConvLinear(

@@ -36,6 +36,10 @@ class MaskedBatchNorm(nn.Module):
     scale_init: Callable = nn.initializers.ones
     bias_init: Callable = nn.initializers.zeros
     axis_name: Optional[str] = None  # psum stats over this mesh axis (SyncBN)
+    # flat-lane mode (r4 flat-geom path): x is [..., K*features] with k-major
+    # lanes; stats/params stay per-channel (identical tree to the 3-D form,
+    # checkpoints interchange) and are tiled across the K lane groups.
+    flat_k: int = 0
 
     @nn.compact
     def __call__(
@@ -53,23 +57,28 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
 
+        K = self.flat_k
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
+
+            def _lane_fold(v):  # [K*features] per-lane sums -> per-channel
+                return v.reshape(K, self.features).sum(0) if K else v
+
             if mask is None:
                 cnt = jnp.float32(x.size // self.features)
-                s = jnp.sum(xf, axis=reduce_axes)
-                s2 = jnp.sum(xf * xf, axis=reduce_axes)
+                s = _lane_fold(jnp.sum(xf, axis=reduce_axes))
+                s2 = _lane_fold(jnp.sum(xf * xf, axis=reduce_axes))
             else:
                 m = jnp.broadcast_to(
                     mask.astype(jnp.float32).reshape(mask.shape + (1,) * (x.ndim - mask.ndim)),
                     x.shape[:-1] + (1,),
                 )
-                cnt = jnp.sum(m) + 0.0
-                s = jnp.sum(xf * m, axis=reduce_axes)
-                s2 = jnp.sum(xf * xf * m, axis=reduce_axes)
+                cnt = (jnp.sum(m) + 0.0) * max(K, 1)
+                s = _lane_fold(jnp.sum(xf * m, axis=reduce_axes))
+                s2 = _lane_fold(jnp.sum(xf * xf * m, axis=reduce_axes))
             if self.axis_name is not None and not self.is_initializing():
                 s = jax.lax.psum(s, self.axis_name)
                 s2 = jax.lax.psum(s2, self.axis_name)
@@ -84,8 +93,41 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
+        if K:  # same arithmetic, per-channel terms tiled across lane groups
+            mean, inv = jnp.tile(mean, K), jnp.tile(inv, K)
+            scale, bias = jnp.tile(scale, K), jnp.tile(bias, K)
         y = (x.astype(jnp.float32) - mean) * inv * scale + bias
         return y.astype(x.dtype)
+
+
+class _FlatDense(nn.Module):
+    """Per-edge Dense in flat-lane layout: [M, K*in_c] -> [M, K*out_dim].
+
+    Param tree identical to nn.Dense ("kernel" [in_c, out_dim], "bias"
+    [out_dim]) so 3-D and flat checkpoints interchange; the kernel is
+    expanded to kron(I_K, kernel) at apply time (a [K*in, K*out] constant
+    per step — trivial next to the [M, ...] matmul it feeds)."""
+
+    out_dim: int
+    flat_k: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from pcf_tpu.nn.init import torch_linear_bias, torch_linear_kernel
+
+        K = self.flat_k
+        in_c = x.shape[-1] // K
+        kernel = self.param("kernel", torch_linear_kernel,
+                            (in_c, self.out_dim))
+        bias = self.param("bias", torch_linear_bias(in_c), (self.out_dim,))
+        eye = jnp.eye(K, dtype=kernel.dtype)
+        bd = jnp.einsum("ij,ab->iajb", eye, kernel).reshape(
+            K * in_c, K * self.out_dim)
+        if self.dtype is not None:
+            x, bd = x.astype(self.dtype), bd.astype(self.dtype)
+        y = x @ bd + jnp.tile(bias, K).astype(x.dtype)
+        return y
 
 
 class LinearBN(nn.Module):
@@ -102,6 +144,11 @@ class LinearBN(nn.Module):
     axis_name: Optional[str] = None
     use_bn: bool = True
     dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 on TPU)
+    # flat-lane mode: x is [M, K*in_c] k-major; the Dense kernel stays
+    # [in_c, out_dim] (identical param tree) and is applied as one
+    # block-diagonal kron(I_K, kernel) matmul — [M, K*in] @ [K*in, K*out]
+    # hits the MXU with no lane padding instead of K-sliced narrow dots.
+    flat_k: int = 0
 
     @nn.compact
     def __call__(
@@ -116,15 +163,23 @@ class LinearBN(nn.Module):
         # battery_results/mb_flat.log): the inserted reshapes break XLA's
         # producer->consumer fusions and force materialized relayouts at
         # every 3-D consumer. Keep the natural 3-D shapes and let XLA fuse.
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="c",
-                     kernel_init=torch_linear_kernel,
-                     bias_init=torch_linear_bias(x.shape[-1]))(x)
+        # (The r4 flat_k path is different: the WHOLE geometry chain stays
+        # flat from the resolve kernel on, so no reshape ever crosses a
+        # fusion boundary — see nn/layers.py flat-geom wiring.)
+        K = self.flat_k
+        if K:
+            x = _FlatDense(self.out_dim, K, dtype=self.dtype, name="c")(x)
+        else:
+            x = nn.Dense(self.out_dim, dtype=self.dtype, name="c",
+                         kernel_init=torch_linear_kernel,
+                         bias_init=torch_linear_bias(x.shape[-1]))(x)
         if self.use_bn:
             x = MaskedBatchNorm(
                 self.out_dim,
                 momentum=self.bn_momentum,
                 scale_init=nn.initializers.constant(self.bn_weight_init),
                 axis_name=self.axis_name,
+                flat_k=K,
                 name="bn",
             )(x, mask=mask, use_running_average=not train)
         return x

@@ -28,6 +28,7 @@ class _WeightNetCore(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     bn_momentum: float = 0.1
+    flat_k: int = 0  # flat-lane mode: x is [M, K*in_c] (see nn/norm.py)
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
@@ -35,6 +36,7 @@ class _WeightNetCore(nn.Module):
         for i, d in enumerate(dims):
             x = LinearBN(d, use_bn=self.use_bn, axis_name=self.axis_name,
                          dtype=self.dtype, bn_momentum=self.bn_momentum,
+                         flat_k=self.flat_k,
                          name=f"mlp_convs_{i}")(x, mask=mask, train=train)
             x = nn.relu(x)
         return x
@@ -47,6 +49,7 @@ class WeightNet(nn.Module):
     use_bn: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    flat_k: int = 0  # flat-lane mode (param tree unchanged; see nn/norm.py)
 
     @nn.compact
     def __call__(
@@ -68,5 +71,5 @@ class WeightNet(nn.Module):
         bn_momentum = 1.0 - (1.0 - m) ** 2 if self.efficient else m
         return core(
             self.out_channel, hidden, self.use_bn, self.axis_name, self.dtype,
-            bn_momentum, name="core"
+            bn_momentum, self.flat_k, name="core"
         )(localized_xyz, mask, train)

@@ -414,3 +414,95 @@ def windowed_take(table: jnp.ndarray, edges: WindowedEdges,
     M, K = edges.nei.shape
     return _windowed_take((M, K), interpret, table, edges.window_rows,
                           edges.localT)
+
+
+def _fwd_kernel_flat(win_ref, loc_ref, out_ref):
+    """Resolve edges AND fold k into lanes: [G, Wsz, C] + [G, 1, Mt*K]
+    -> [G, Mt, K*C] (k-major flat rows).
+
+    Same one-hot MXU resolve as _fwd_kernel; the [chunk, C] edge-major
+    result of each chunk is folded (chunk, C) -> (chunk/K, K*C) in VMEM
+    before the store, so the HBM output carries K*C lanes instead of a
+    C-lane minor dim that would pad up to 128/C x (RESULTS.md r3/r4: the
+    padded [M, K, c] materializations are the eval's dominant traffic).
+    The fold is a sublane->lane relayout on a VMEM value — paid once per
+    chunk, far from HBM.
+    """
+    G, Wsz, C = win_ref.shape
+    Mt, KC = out_ref.shape[1], out_ref.shape[2]
+    K = KC // C
+    MtK = loc_ref.shape[-1]
+    chunk = _edge_chunk(MtK, Wsz, 2 ** 19)
+    n_chunks = MtK // chunk
+    pts_c = chunk // K
+    iota = jax.lax.broadcasted_iota(jnp.int32, (Wsz, chunk), 0)
+
+    def body(i, _):
+        t = i // n_chunks
+        j = i % n_chunks
+        e = j * chunk
+        win = win_ref[t]                            # [Wsz, C]
+        lc = loc_ref[t, :, pl.dslice(e, chunk)]     # [1, chunk]
+        onehot = (iota == lc).astype(win.dtype)     # [Wsz, chunk]
+        feat = jax.lax.dot_general(
+            onehot, win, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+        out_ref[t, pl.dslice(j * pts_c, pts_c)] = feat.reshape(pts_c, K * C)
+        return ()
+
+    jax.lax.fori_loop(0, G * n_chunks, body, ())
+
+
+def windowed_take_flat(table: jnp.ndarray, edges: WindowedEdges,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """table[edges.nei] in k-major FLAT layout: [N, C] -> [M, K*C].
+
+    out[m, k*C + c] == table[edges.nei[m, k], c]. The flat form's minor dim
+    K*C lane-pads 1-2.7x instead of the 3-D form's 128/C x — the narrow-C
+    geometry gathers (C=3/6) are the 21x-padded HBM term of the r3 layout
+    study. Geometry is gradient-free data: no VJP is defined — wrap the
+    call in lax.stop_gradient semantics at the call site (the flat-geom
+    stage hoist does).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    M, K = edges.nei.shape
+    T, Wsz = edges.window_rows.shape
+    MtK = edges.localT.shape[-1]
+    Mt = MtK // K
+    C = table.shape[-1]
+    isz = table.dtype.itemsize
+    chunk = _edge_chunk(MtK, Wsz, 2 ** 19)
+
+    wins = jnp.take(table, edges.window_rows, axis=0, mode="clip")
+
+    def est(G, Cb):
+        del Cb  # the fold needs the full C per chunk; no feature split
+        blocks = G * (Wsz * _pad128(C) * isz + Mt * _pad128(K * C) * isz
+                      + 8 * MtK * 4)
+        scratch = Wsz * chunk * (4 + isz) + chunk * _pad128(C) * isz
+        return 2 * blocks + scratch
+
+    if chunk % K or est(1, C) > _SCOPED_VMEM_BUDGET:
+        # K not dividing the 128-aligned edge chunk, or a window block too
+        # large for the no-feature-split fold: take the 3-D path and fold
+        # outside (correct, pays one relayout).
+        return windowed_take(table, edges, interpret).reshape(M, K * C)
+    G = min(8, T)
+    while G > 1 and (T % G or est(G, C) > _SCOPED_VMEM_BUDGET):
+        G -= 1
+    out = pl.pallas_call(
+        _fwd_kernel_flat,
+        grid=(T // G,),
+        in_specs=[
+            pl.BlockSpec((G, Wsz, C), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, MtK), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((G, Mt, K * C), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, Mt, K * C), table.dtype),
+        interpret=interpret,
+    )(wins, edges.localT)
+    return out.reshape(M, K * C)

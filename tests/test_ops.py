@@ -186,3 +186,28 @@ def test_pconv_gradients_match_oracle(rng):
         wm = wts.copy(); wm[m, k, w] -= eps
         num = (f_np(feats, wp) - f_np(feats, wm)) / (2 * eps)
         assert abs(float(g_wts[m, k, w]) - num) < 1e-2, (m, k, w)
+
+
+def test_vi_transform_flat_matches_3d(rng):
+    """vi_transform_flat on [M, K*3] k-major lanes == the 3-D reference
+    transform (the flat form is the layout-optimized equal for TPU lane
+    packing; selection matmuls run at HIGHEST so f32 data never rounds)."""
+    from pcf_tpu.ops.vi_transform import vi_transform_flat
+
+    M, K = 13, 16
+    localized = rng.normal(size=(M, K, 3)).astype(np.float32)
+    gnorm = rng.normal(size=(M, K, 3)).astype(np.float32)
+    gnorm /= np.linalg.norm(gnorm, axis=-1, keepdims=True)
+    snorm = rng.normal(size=(M, 3)).astype(np.float32)
+    snorm /= np.linalg.norm(snorm, axis=-1, keepdims=True)
+
+    ref = VI_coordinate_transform(
+        jnp.asarray(localized), jnp.asarray(gnorm), jnp.asarray(snorm), K)
+    flat = vi_transform_flat(
+        jnp.asarray(localized.reshape(M, K * 3)),
+        jnp.asarray(gnorm.reshape(M, K * 3)),
+        jnp.asarray(snorm))
+    assert flat.shape == (M, K * 12)
+    np.testing.assert_allclose(
+        np.asarray(flat).reshape(M, K, 12), np.asarray(ref),
+        rtol=1e-5, atol=1e-5)

@@ -272,3 +272,23 @@ def test_windowed_dp_train_step_matches_plain():
         results[window] = float(metrics["loss"])
         assert np.isfinite(results[window])
     assert abs(results[True] - results[False]) < 1e-4, results
+
+
+def test_windowed_take_flat_exact():
+    """windowed_take_flat: k-major flat layout [M, K*C] with the fold done
+    inside the resolve kernel — out[m, k*C+c] == table[nei[m,k], c]. Both
+    the in-kernel-fold path (chunk % K == 0) and the 3-D fallback must be
+    exact."""
+    from pcf_tpu.ops.window import windowed_take_flat
+
+    N, K = 1024, 16
+    nei = _local_edges(N, K, 120, seed=4)
+    we = build_windows(nei, tile=128, window=512)
+    rng = np.random.default_rng(5)
+    for C in (3, 6, 24):
+        for dt in (jnp.float32, jnp.bfloat16):
+            tab = jnp.asarray(rng.normal(size=(N, C)), dt)
+            out = jax.jit(lambda t: windowed_take_flat(t, we))(tab)
+            assert out.shape == (N, K * C)
+            ref = np.asarray(tab)[nei].reshape(N, K * C)
+            assert np.array_equal(np.asarray(out), ref), (C, dt)
