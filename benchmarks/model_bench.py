@@ -37,7 +37,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                  compute_dtype: str = "float32", scan_resblocks: bool = True,
                  window: bool = False, remat: bool = False,
                  remat_layers: bool = False, skip_train: bool = False,
-                 fused_eval: bool = False):
+                 fused_eval: bool = False, flat_geom: bool = False):
     import jax
 
     from __graft_entry__ import _flagship
@@ -51,6 +51,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     cfg.USE_PALLAS_KERNEL = use_pallas
     cfg.window_gather = window
     cfg.fused_eval = fused_eval
+    cfg.flat_geom = flat_geom
     cfg.compute_dtype = compute_dtype
     cfg.scan_resblocks = scan_resblocks
     cfg.remat_blocks = remat
@@ -163,6 +164,9 @@ def main():
     parser.add_argument("--fused-eval", action="store_true",
                         help="whole-layer inference megakernel "
                              "(cfg.fused_eval; needs --window)")
+    parser.add_argument("--flat-geom", action="store_true",
+                        help="flat-lane stage geometry (cfg.flat_geom; "
+                             "needs --window)")
     args = parser.parse_args()
 
     import jax
@@ -179,7 +183,7 @@ def main():
                          scan_resblocks=not args.unroll, window=args.window,
                          remat=args.remat, remat_layers=args.remat_layers,
                          skip_train=args.eval_only,
-                         fused_eval=args.fused_eval)
+                         fused_eval=args.fused_eval, flat_geom=args.flat_geom)
             for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
@@ -188,6 +192,7 @@ def main():
         name += " bf16" if r["compute_dtype"] == "bfloat16" else ""
         name += " +win" if r.get("window_gather") else ""
         name += " +FE" if args.fused_eval else ""
+        name += " +flat" if args.flat_geom else ""
         if r.get("hbm_train_gib"):
             mfu_t += (f" | HBM eval {r['hbm_eval_gib']:.2f}"
                       f" train {r['hbm_train_gib']:.2f} GiB")
