@@ -72,11 +72,19 @@ def main():
     xw = jax.random.normal(key, (rows, 512), jnp.bfloat16)
     bench("copy_wide", lambda x: x + 0.0, xw, moved_bytes=2 * nbytes)
 
-    # narrow: same PADDED footprint as the wide case (lane pad 16 -> 128,
-    # 8x), so rows such that rows*128*2 = nbytes; moved counts padded bytes
-    nrows = nbytes // (128 * 2)
+    # narrow: a [rows, 16] bf16 table. Two readings (2026-08-20 finding):
+    # at the jit ENTRY boundary XLA assigns the narrow array a TRANSPOSED
+    # layout {0,1} — minor dim = rows — so it tiles (8, 128) with ZERO lane
+    # padding and streams near peak on REAL bytes. Padding is therefore not
+    # intrinsic to narrow shapes; it appears only where XLA materializes an
+    # INTERIOR temp in the default {1,0} row-major order. moved_bytes here
+    # counts REAL bytes; `GBps_if_padded` shows what the same wall time
+    # means under the 8x-padded accounting the r3 study used.
+    nrows = nbytes // (16 * 2)  # same REAL working set as the wide case
     xn = jax.random.normal(key, (nrows, 16), jnp.bfloat16)
-    bench("copy_narrow", lambda x: x + 0.0, xn, moved_bytes=2 * nbytes)
+    bench("copy_narrow", lambda x: x + 1.0, xn, moved_bytes=2 * nbytes)
+    out["copy_narrow"]["GBps_if_padded"] = (
+        out["copy_narrow"]["GBps"] * 8.0)
 
     # random row gather at the flagship L0 edge count: 655360 rows from a
     # 40960-row [N, 16] table. Transaction-bound: each row reads one

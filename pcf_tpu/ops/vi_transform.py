@@ -117,7 +117,10 @@ def _flat_consts(K: int):
             EL[3 * k + c, 12 * k + 9 + c] = 1.0
         for t in range(9):
             EC[t * K + k, 12 * k + t] = 1.0
-    return tuple(jnp.asarray(m) for m in (S3, S3.T, T3, PL, PR, EC, EL))
+    # numpy, NOT jnp: jnp.asarray under an active trace returns a tracer,
+    # which the lru_cache would leak into the next trace (UnexpectedTracer).
+    # XLA stages numpy operands as constants and dedups them by value.
+    return (S3, S3.T.copy(), T3, PL, PR, EC, EL)
 
 
 def _mm(a, b):
@@ -138,7 +141,7 @@ def _geom_split_consts(K: int):
             SelX[6 * k + c, 3 * k + c] = 1.0
             SelN[6 * k + 3 + c, 3 * k + c] = 1.0
             T3[c, 3 * k + c] = 1.0
-    return tuple(jnp.asarray(m) for m in (SelX, SelN, T3))
+    return (SelX, SelN, T3)  # numpy constants (see _flat_consts note)
 
 
 def localize_flat(gathered_xyz_flat: jnp.ndarray,

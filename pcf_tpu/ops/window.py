@@ -474,6 +474,15 @@ def windowed_take_flat(table: jnp.ndarray, edges: WindowedEdges,
     isz = table.dtype.itemsize
     chunk = _edge_chunk(MtK, Wsz, 2 ** 19)
 
+    if not interpret and C != 128:
+        # Mosaic rejects the in-kernel (chunk, C) -> (chunk/K, K*C) fold for
+        # any C other than a full 128-lane vreg ("infer-vector-layout:
+        # unsupported shape cast", probed across C in {6,8,16,32} f32/bf16 on
+        # the real toolchain, 2026-08-20) — the interpreter accepts it, which
+        # is exactly the r2 "interpreter-only proof" trap. Fall back to the
+        # 3-D resolve + one XLA relayout so flat callers stay correct.
+        return windowed_take(table, edges, interpret).reshape(M, K * C)
+
     wins = jnp.take(table, edges.window_rows, axis=0, mode="clip")
 
     def est(G, Cb):
