@@ -117,6 +117,11 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # 8-42x when materialized). Needs window_gather; parity-pinned by
     # tests/test_flatgeom.py.
     cfg.setdefault("flat_geom", False)
+    # Window-resolve implementation: "xla" (one-hot einsum — measured
+    # 1.5-3.4x faster than the Pallas kernels across C=16..128 on v5e, and
+    # extends the windowed path to f32 geometry tables, RESULTS.md r4) or
+    # "pallas" (the r6b kernels). Read at trace time by the models.
+    cfg.setdefault("resolve_impl", "xla")
     return cfg
 
 

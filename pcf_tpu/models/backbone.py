@@ -131,6 +131,8 @@ class PCF_Backbone(nn.Module):
     def __call__(self, features, pointclouds, edges_self, edges_forward, norms,
                  masks=None, train: bool = False):
         cfg = as_config(self.cfg)
+        from pcf_tpu.ops.window import set_resolve_impl
+        set_resolve_impl(cfg.get("resolve_impl", "xla"))
         total_level = cfg.num_level
         guided_level = cfg.guided_level
         if masks is None:

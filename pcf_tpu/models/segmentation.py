@@ -29,6 +29,8 @@ class PointConvFormer_Segmentation(nn.Module):
     def __call__(self, features, pointclouds, edges_self, edges_forward,
                  edges_propagate, norms, masks=None, train: bool = False):
         cfg = as_config(self.cfg)
+        from pcf_tpu.ops.window import set_resolve_impl
+        set_resolve_impl(cfg.get("resolve_impl", "xla"))
         total_level = cfg.num_level
         if masks is None:
             masks = [None] * total_level

@@ -24,15 +24,19 @@ def index_points(points: jnp.ndarray, idx) -> jnp.ndarray:
     the windowed dedup path (4x fewer HBM row transactions; measured ~3x
     faster backward) instead of a native per-row gather.
     """
-    from pcf_tpu.ops.window import WindowedEdges, windowed_take
+    from pcf_tpu.ops.window import (WindowedEdges, resolve_impl,
+                                    windowed_take)
 
     if isinstance(idx, WindowedEdges):
-        # Windowed path only for 2-byte (bf16) tables: that's where both
-        # wins live (feature gathers forward + the 3x-cheaper training
-        # scatter). f32 tables here are geometry (coords/normals) — no
-        # backward flows to them, and Mosaic's 128-lane padding of the
-        # narrow f32 blocks makes the windowed forward a net loss.
-        if points.ndim == 2 and points.dtype.itemsize == 2:
+        # Pallas resolve: 2-byte (bf16) tables only — Mosaic's 128-lane VMEM
+        # padding makes narrow-f32 (geometry) windows a net loss there.
+        # XLA resolve: every dtype — the one-hot einsum has no VMEM lane
+        # padding, and the windowed f32 geometry gather measured 4.8x
+        # cheaper than the plain row gather at L0 scale (RESULTS.md r4;
+        # products are exact selections at HIGHEST, so numerics are
+        # bit-identical to the plain gather).
+        if points.ndim == 2 and (points.dtype.itemsize == 2
+                                 or resolve_impl() == "xla"):
             return windowed_take(points, idx)
         idx = idx.nei
     if points.ndim == 2:

@@ -207,6 +207,59 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# Resolve implementation: "pallas" (the original kernels) or "xla" (a plain
+# one-hot einsum). Measured on the v5e (2026-08-20, L0 scale T=320 Wsz=512
+# K=16): XLA beats the Pallas kernel 3.4x at C=16 (0.53 vs 1.82 ms), 2.8x at
+# C=64, 1.5x at C=128 — XLA tiles the [T] batch of [Wsz,C]x[Wsz,MtK] matmuls
+# onto the MXU better than the hand-planned grid, and it also makes narrow
+# f32 (geometry) windows viable (no Mosaic 128-lane VMEM padding). The
+# global is read at TRACE time (set it before jitting; PCF_Backbone sets it
+# from cfg.resolve_impl at the top of every trace).
+_RESOLVE_IMPL = "pallas"
+
+
+def set_resolve_impl(impl: str) -> None:
+    global _RESOLVE_IMPL
+    if impl not in ("pallas", "xla"):
+        raise ValueError(f"resolve_impl must be 'pallas' or 'xla', got {impl!r}")
+    _RESOLVE_IMPL = impl
+
+
+def resolve_impl() -> str:
+    return _RESOLVE_IMPL
+
+
+def _onehot_for(localT, Wsz: int, dtype):
+    """[T, 1, MtK] positions -> [T, Wsz, MtK] one-hot (fuses into the dot)."""
+    lc = localT[:, 0, :]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (localT.shape[0], Wsz, 1), 1)
+    return (lc[:, None, :] == iota).astype(dtype)
+
+
+def _resolve_xla(wins, localT, out_dtype):
+    """One-hot einsum resolve: [T, Wsz, C] + [T, 1, MtK] -> [T, MtK, C].
+
+    Products are x*1/x*0 — exact selection — but only if the data operand is
+    not rounded: bf16 windows are exact at any precision; f32 windows need
+    HIGHEST (3-pass bf16 emulation carries the full f32 mantissa)."""
+    prec = (jax.lax.Precision.HIGHEST
+            if wins.dtype == jnp.float32 else None)
+    onehot = _onehot_for(localT, wins.shape[1], wins.dtype)
+    return jnp.einsum("twc,twe->tec", wins, onehot,
+                      precision=prec).astype(out_dtype)
+
+
+def _scatter_xla(g, localT, window):
+    """Transpose of _resolve_xla: [T, MtK, C] cotangents -> [T, Wsz, C] f32
+    per-window sums (the same transposed one-hot contraction the Pallas
+    backward kernel runs; f32 accumulation via preferred_element_type)."""
+    onehot = _onehot_for(localT, window, g.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if g.dtype == jnp.float32 else None)
+    return jnp.einsum("tec,twe->twc", g, onehot, precision=prec,
+                      preferred_element_type=jnp.float32)
+
+
 def _edge_chunk(MtK: int, Wsz: int, budget: int) -> int:
     """Edge-dim chunk so the [Wsz, chunk] one-hot + iota scratch stays small
     (a full-MtK operand blew the 16MB scoped-vmem stack on chip). Shared by
@@ -381,7 +434,10 @@ def _scatter_to_windows(g, localT, window, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _windowed_take(out_shape, interpret, table, window_rows, localT):
     wins = jnp.take(table, window_rows, axis=0, mode="clip")   # [T, Wsz, C]
-    out = _resolve(wins, localT, table.dtype, interpret)
+    if _RESOLVE_IMPL == "xla":
+        out = _resolve_xla(wins, localT, table.dtype)
+    else:
+        out = _resolve(wins, localT, table.dtype, interpret)
     return out.reshape(out_shape + (table.shape[-1],))
 
 
@@ -397,7 +453,11 @@ def _windowed_take_bwd(out_shape, interpret, res, g):
     T, Wsz = window_rows.shape
     MtK = localT.shape[-1]
     C = g.shape[-1]
-    dwin = _scatter_to_windows(g.reshape(T, MtK, C), localT, Wsz, interpret)
+    if _RESOLVE_IMPL == "xla":
+        dwin = _scatter_xla(g.reshape(T, MtK, C), localT, Wsz)
+    else:
+        dwin = _scatter_to_windows(g.reshape(T, MtK, C), localT, Wsz,
+                                   interpret)
     dtable = jnp.zeros(table.shape, jnp.float32).at[
         window_rows.reshape(-1)].add(dwin.reshape(T * Wsz, C), mode="drop")
     return dtable.astype(table.dtype), None, None

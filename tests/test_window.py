@@ -292,3 +292,64 @@ def test_windowed_take_flat_exact():
             assert out.shape == (N, K * C)
             ref = np.asarray(tab)[nei].reshape(N, K * C)
             assert np.array_equal(np.asarray(out), ref), (C, dt)
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+@pytest.mark.parametrize("dt", [jnp.bfloat16, jnp.float32])
+def test_resolve_impl_exact(impl, dt):
+    """The XLA one-hot-einsum resolve (r4 production default: measured
+    1.5-3.4x faster than the Pallas kernels on chip) must be EXACT against
+    the plain-gather oracle — forward and the d_table cotangent — for both
+    bf16 (feature tables) and f32 (geometry tables; HIGHEST-precision
+    selection). The Pallas impl is checked for bf16 only: it is gated to
+    2-byte tables in production (ops/gather.index_points) and is not exact
+    for f32."""
+    from pcf_tpu.ops import window as W
+
+    if impl == "pallas" and dt == jnp.float32:
+        pytest.skip("pallas resolve is bf16-only in production")
+    N, K = 1024, 16
+    nei = _local_edges(N, K, 100, seed=11)
+    we = build_windows(nei, tile=128, window=512)
+    rng = np.random.default_rng(12)
+    tab = jnp.asarray(rng.normal(size=(N, 8)), dt)
+    prev = W.resolve_impl()
+    try:
+        W.set_resolve_impl(impl)
+        out = jax.jit(lambda t: windowed_take(t, we))(tab)
+        oracle = np.asarray(tab)[nei]
+        assert np.array_equal(np.asarray(out), oracle), (impl, dt)
+        g = jax.jit(jax.grad(
+            lambda t: (windowed_take(t, we).astype(jnp.float32) ** 2).sum()
+        ))(tab)
+        go = np.zeros((N, 8), np.float32)
+        np.add.at(go, nei.reshape(-1),
+                  2 * np.asarray(tab, np.float32)[nei.reshape(-1)])
+        # relative: heavily-referenced rows accumulate hundreds of terms, so
+        # f32 reorder noise ~1e-6 rel; bf16 tables round each x^2 product
+        rel = 1e-5 if dt == jnp.float32 else 2e-2
+        scale = max(1.0, float(np.abs(go).max()))
+        err = np.abs(np.asarray(g, np.float32) - go).max()
+        assert err < rel * scale, (impl, dt, err, scale)
+    finally:
+        W.set_resolve_impl(prev)
+
+
+def test_index_points_f32_windowed_under_xla():
+    """Under the xla resolve impl, f32 (geometry) tables ride the windowed
+    path and stay bit-exact vs the plain gather (the 4.8x L0 geometry win,
+    RESULTS.md r4)."""
+    from pcf_tpu.ops import window as W
+
+    N, K = 512, 16
+    nei = _local_edges(N, K, 60, seed=13)
+    we = build_windows(nei, tile=128, window=512)
+    tab = jnp.asarray(np.random.default_rng(14).normal(size=(N, 6)),
+                      jnp.float32)
+    prev = W.resolve_impl()
+    try:
+        W.set_resolve_impl("xla")
+        out = jax.jit(lambda t: index_points(t, we))(tab)
+        assert np.array_equal(np.asarray(out), np.asarray(tab)[nei])
+    finally:
+        W.set_resolve_impl(prev)
