@@ -122,6 +122,11 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # extends the windowed path to f32 geometry tables, RESULTS.md r4) or
     # "pallas" (the r6b kernels). Read at trace time by the models.
     cfg.setdefault("resolve_impl", "xla")
+    # Channel-major stage geometry (r4): windowed resolve emits [C, M, K]
+    # (unpadded minor M*K) and localize/VI run channel-major; one moveaxis
+    # back at the stage boundary. Needs window_gather. Default off until
+    # measured on chip; parity pinned by tests/test_cmgeom.py.
+    cfg.setdefault("cm_geom", False)
     return cfg
 
 

@@ -90,6 +90,30 @@ def _stage_geometry(xyz, nei_inds, norms, use_vi, cfg=None):
     # (profiled ~1 ms/block at flagship scale). The blocks' own astype then
     # no-ops. Geometry math itself (localization, VI) stays f32.
     dtype = None if cfg is None else _dtype_of(cfg)
+    if (cfg is not None and cfg.get("cm_geom")
+            and isinstance(nei_inds, WindowedEdges)):
+        # Channel-major stage geometry (r4): the windowed resolve emits
+        # [C, M, K] directly (minor dim M*K, unpadded) and the whole
+        # localize -> VI chain runs channel-major on full 128-lane vregs;
+        # the single moveaxis back to the layers' [M, K, c] convention is
+        # the transpose XLA's layout assignment already inserts on the
+        # row-major path (the {0,2,1} copies, RESULTS.md r4 audit).
+        from pcf_tpu.ops.vi_transform import localize_cm, vi_transform_cm
+        from pcf_tpu.ops.window import windowed_take_cm
+
+        if use_vi:
+            table = jnp.concatenate([src_xyz, src_norms], axis=-1)
+            g6 = jax.lax.stop_gradient(windowed_take_cm(table, nei_inds))
+            loc_cm = localize_cm(g6[:3], xyz)
+            vi_cm = vi_transform_cm(loc_cm, g6[3:], norms)
+            localized = jnp.moveaxis(loc_cm, 0, -1)
+            vi = jnp.moveaxis(vi_cm, 0, -1)
+            if dtype is not None:
+                localized, vi = localized.astype(dtype), vi.astype(dtype)
+            return localized, vi
+        g3 = jax.lax.stop_gradient(windowed_take_cm(src_xyz, nei_inds))
+        localized = jnp.moveaxis(localize_cm(g3, xyz), 0, -1)
+        return (localized if dtype is None else localized.astype(dtype)), None
     if (cfg is not None and cfg.get("flat_geom")
             and isinstance(nei_inds, WindowedEdges)):
         # Flat-lane stage geometry (r4): the whole localize -> VI chain in

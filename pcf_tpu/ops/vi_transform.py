@@ -210,3 +210,67 @@ def vi_transform_flat(
         norm,                              # theta9
     ], axis=-1)                                              # [M, 9K] t-major
     return _mm(thetas, EC) + _mm(loc, EL)                    # [M, 12K]
+
+
+# --------------------------------------------------------------------------
+# Channel-major variant: [3, M, K] -> [12, M, K] (r4)
+# --------------------------------------------------------------------------
+#
+# The r4 traffic audit showed XLA's layout assignment already prefers
+# M-minor ("channel-major") layouts for the geometry chain's consumers —
+# the {0,2,1} relayout copies after every [M*K, c] gather were XLA
+# transposing INTO that form. With the windowed resolve emitting
+# channel-major directly (window.windowed_take_cm: einsum "twc,twe->cte",
+# minor dim M*K — unpadded), the whole localize -> VI chain runs on full
+# 128-lane vregs and never materializes a lane-padded narrow-c buffer.
+# Same math as VI_coordinate_transform with the channel axis leading;
+# parity pinned by tests/test_cmgeom.py.
+
+
+def _normalize_cm(x: jnp.ndarray) -> jnp.ndarray:
+    # channel-axis-0 mirror of _normalize (torch F.normalize semantics)
+    n = jnp.sqrt(jnp.sum(x * x, axis=0, keepdims=True))
+    return x / jnp.maximum(n, _EPS)
+
+
+def _cross_cm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([a[1] * b[2] - a[2] * b[1],
+                      a[2] * b[0] - a[0] * b[2],
+                      a[0] * b[1] - a[1] * b[0]], axis=0)
+
+
+def localize_cm(gathered_xyz_cm: jnp.ndarray,
+                center_xyz: jnp.ndarray) -> jnp.ndarray:
+    """[3, M, K] gathered coords minus the [M, 3] centers (broadcast)."""
+    return gathered_xyz_cm - center_xyz.T[:, :, None]
+
+
+def vi_transform_cm(
+    localized_cm: jnp.ndarray,   # [3, M, K]
+    gathered_norm_cm: jnp.ndarray,  # [3, M, K]
+    sparse_xyz_norm: jnp.ndarray,   # [M, 3]
+) -> jnp.ndarray:
+    """VI features channel-major: [12, M, K], rows theta1..9 | localized."""
+    loc = localized_cm
+    gn = gathered_norm_cm
+    n_s = sparse_xyz_norm.T[:, :, None]                       # [3, M, 1]
+
+    r_hat = _normalize_cm(loc)
+    ns_dot_r = jnp.sum(n_s * r_hat, axis=0, keepdims=True)    # [1, M, K]
+    v_miu = _normalize_cm(n_s - ns_dot_r * r_hat)
+    w_miu = _normalize_cm(_cross_cm(r_hat, v_miu))
+
+    theta1 = jnp.sum(gn * n_s, axis=0)
+    theta2 = ns_dot_r[0]
+    theta3 = jnp.sum(r_hat * gn, axis=0)
+    theta4 = jnp.sum(loc * n_s, axis=0)
+    theta5 = jnp.sum(gn * r_hat, axis=0)      # dup of theta3 (ref parity)
+    theta6 = jnp.sum(gn * v_miu, axis=0)
+    theta7 = jnp.sum(gn * w_miu, axis=0)
+    theta8 = jnp.sum(loc * _cross_cm(gn, jnp.broadcast_to(n_s, gn.shape)),
+                     axis=0)
+    theta9 = jnp.sqrt(jnp.sum(loc * loc, axis=0))
+
+    thetas = jnp.stack([theta1, theta2, theta3, theta4, theta5, theta6,
+                        theta7, theta8, theta9], axis=0)      # [9, M, K]
+    return jnp.concatenate([thetas, loc], axis=0)             # [12, M, K]

@@ -476,6 +476,28 @@ def windowed_take(table: jnp.ndarray, edges: WindowedEdges,
                           edges.localT)
 
 
+def windowed_take_cm(table: jnp.ndarray, edges: WindowedEdges) -> jnp.ndarray:
+    """table[edges.nei] CHANNEL-MAJOR: [N, C] -> [C, M, K].
+
+    The one-hot einsum emits the cm orientation directly
+    (`"twc,twe->cte"` -> [C, T, MtK]; MtK is m-major, so the reshape to
+    [C, M, K] is a pure leading split/merge — no relayout). The minor dim
+    stays M*K (unpadded) instead of the row-major form's 128-lane-padded
+    narrow C, and XLA's layout assignment already prefers M-minor for the
+    geometry chain's consumers (the {0,2,1} copies in the r4 audit were
+    XLA transposing into exactly this form). f32 tables ride HIGHEST so
+    the selection products are exact; gradients flow via the einsum's
+    derived transpose (geometry callers stop_gradient anyway)."""
+    M, K = edges.nei.shape
+    C = table.shape[-1]
+    wins = jnp.take(table, edges.window_rows, axis=0, mode="clip")
+    onehot = _onehot_for(edges.localT, wins.shape[1], wins.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if wins.dtype == jnp.float32 else None)
+    out = jnp.einsum("twc,twe->cte", wins, onehot, precision=prec)
+    return out.reshape(C, M, K)
+
+
 def _fwd_kernel_flat(win_ref, loc_ref, out_ref):
     """Resolve edges AND fold k into lanes: [G, Wsz, C] + [G, 1, Mt*K]
     -> [G, Mt, K*C] (k-major flat rows).
