@@ -10,9 +10,11 @@ sheets are not SLAs. This probe measures:
                              (read + write, the textbook triad-lite)
   copy_wide                  y = x for a [rows, 512] bf16 table
   copy_narrow                y = x for a [rows, 16] bf16 table — the
-                             model's padded-narrow case: counts PADDED
-                             bytes (lane pad 16->128) to compare directly
-                             with the eval's 370 GB/s padded figure
+                             model's padded-narrow case: reports REAL-byte
+                             GB/s (the array is sized by real bytes) plus a
+                             derived `GBps_if_padded` field (lane pad
+                             16->128) for comparison with the eval's
+                             padded-traffic figures
   gather_row                 y = x[idx] random row gather at [N, 16] —
                              the transaction-bound case (per-row tile
                              reads price a whole 8x128 tile per row)

@@ -38,7 +38,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                  window: bool = False, remat: bool = False,
                  remat_layers: bool = False, skip_train: bool = False,
                  fused_eval: bool = False, flat_geom: bool = False,
-                 resolve_impl: str = "xla"):
+                 cm_geom: bool = False, resolve_impl: str = "xla"):
     import jax
 
     from __graft_entry__ import _flagship
@@ -53,6 +53,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     cfg.window_gather = window
     cfg.fused_eval = fused_eval
     cfg.flat_geom = flat_geom
+    cfg.cm_geom = cm_geom
     cfg.resolve_impl = resolve_impl
     cfg.compute_dtype = compute_dtype
     cfg.scan_resblocks = scan_resblocks
@@ -169,6 +170,9 @@ def main():
     parser.add_argument("--flat-geom", action="store_true",
                         help="flat-lane stage geometry (cfg.flat_geom; "
                              "needs --window)")
+    parser.add_argument("--cm-geom", action="store_true",
+                        help="channel-major stage geometry (cfg.cm_geom; "
+                             "needs --window)")
     parser.add_argument("--resolve", choices=["xla", "pallas"],
                         default="xla",
                         help="window-resolve implementation "
@@ -190,7 +194,7 @@ def main():
                          remat=args.remat, remat_layers=args.remat_layers,
                          skip_train=args.eval_only,
                          fused_eval=args.fused_eval, flat_geom=args.flat_geom,
-                         resolve_impl=args.resolve)
+                         cm_geom=args.cm_geom, resolve_impl=args.resolve)
             for up in variants[args.pallas]]
     for r in rows:
         mfu_e = f" ({r['eval_tflops']/peak*100:.1f}% MFU)" if peak else ""
@@ -200,6 +204,7 @@ def main():
         name += " +win" if r.get("window_gather") else ""
         name += " +FE" if args.fused_eval else ""
         name += " +flat" if args.flat_geom else ""
+        name += " +cm" if args.cm_geom else ""
         name += f" rs:{args.resolve}"
         if r.get("hbm_train_gib"):
             mfu_t += (f" | HBM eval {r['hbm_eval_gib']:.2f}"

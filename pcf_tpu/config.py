@@ -124,8 +124,10 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     cfg.setdefault("resolve_impl", "xla")
     # Channel-major stage geometry (r4): windowed resolve emits [C, M, K]
     # (unpadded minor M*K) and localize/VI run channel-major; one moveaxis
-    # back at the stage boundary. Needs window_gather. Default off until
-    # measured on chip; parity pinned by tests/test_cmgeom.py.
+    # back at the stage boundary. Needs window_gather. Parity pinned by
+    # tests/test_cmgeom.py; measured on chip r5 and LOSES ~1 ms eval /
+    # ~2 ms train (the boundary moveaxis re-materializes the padded form —
+    # RESULTS.md r5), so the measured default is off.
     cfg.setdefault("cm_geom", False)
     return cfg
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def index_points(points: jnp.ndarray, idx) -> jnp.ndarray:
+def index_points(points: jnp.ndarray, idx, impl: str | None = None) -> jnp.ndarray:
     """Gather rows of `points` by integer index.
 
     Accepts the reference layout (reference: layer_utils.py:13-30):
@@ -22,7 +22,10 @@ def index_points(points: jnp.ndarray, idx) -> jnp.ndarray:
 
     `idx` may be a WindowedEdges (pcf_tpu.ops.window): the gather then runs
     the windowed dedup path (4x fewer HBM row transactions; measured ~3x
-    faster backward) instead of a native per-row gather.
+    faster backward) instead of a native per-row gather. `impl` pins the
+    resolve implementation ("xla"/"pallas"); None defaults from the module
+    setting, resolved HERE at trace time and threaded down explicitly so the
+    forward/backward pairing can never diverge.
     """
     from pcf_tpu.ops.window import (WindowedEdges, resolve_impl,
                                     windowed_take)
@@ -35,9 +38,10 @@ def index_points(points: jnp.ndarray, idx) -> jnp.ndarray:
         # cheaper than the plain row gather at L0 scale (RESULTS.md r4;
         # products are exact selections at HIGHEST, so numerics are
         # bit-identical to the plain gather).
+        impl = impl or resolve_impl()
         if points.ndim == 2 and (points.dtype.itemsize == 2
-                                 or resolve_impl() == "xla"):
-            return windowed_take(points, idx)
+                                 or impl == "xla"):
+            return windowed_take(points, idx, impl=impl)
         idx = idx.nei
     if points.ndim == 2:
         return jnp.take(points, idx, axis=0, mode="clip")

@@ -442,9 +442,10 @@ def windowed_fusable(edges, K: int | None = None) -> bool:
 
 def _ref_pcf_win(mk, interpret, feats, window_rows, localT, guidance,
                  weights, linear_w, linear_b):
-    from pcf_tpu.ops.window import _windowed_take
+    from pcf_tpu.ops.window import _windowed_take, resolve_impl
 
-    gathered = _windowed_take(mk, interpret, feats, window_rows, localT)
+    gathered = _windowed_take(mk, interpret, resolve_impl(), feats,
+                              window_rows, localT)
     gathered = guided_contraction(gathered, guidance)
     out = pconv(gathered, weights, precision=None)
     return jnp.matmul(out, linear_w) + linear_b
@@ -452,9 +453,10 @@ def _ref_pcf_win(mk, interpret, feats, window_rows, localT, guidance,
 
 def _ref_pconv_pe_win(mk, interpret, feats, window_rows, localT, add,
                       weights, linear_w, linear_b):
-    from pcf_tpu.ops.window import _windowed_take
+    from pcf_tpu.ops.window import _windowed_take, resolve_impl
 
-    gathered = _windowed_take(mk, interpret, feats, window_rows, localT)
+    gathered = _windowed_take(mk, interpret, resolve_impl(), feats,
+                              window_rows, localT)
     gathered = jnp.concatenate([gathered, add], axis=-1)
     out = pconv(gathered, weights, precision=None)
     return jnp.matmul(out, linear_w) + linear_b

@@ -224,7 +224,10 @@ def vi_transform_flat(
 # minor dim M*K — unpadded), the whole localize -> VI chain runs on full
 # 128-lane vregs and never materializes a lane-padded narrow-c buffer.
 # Same math as VI_coordinate_transform with the channel axis leading;
-# parity pinned by tests/test_cmgeom.py.
+# parity pinned by tests/test_cmgeom.py. Measured on chip (r5): the stage-
+# boundary moveaxis re-materializes the padded [M,K,c] form and the path
+# LOSES ~1-2 ms at flagship (RESULTS.md r5) — kept as a tested, documented
+# negative result, default off.
 
 
 def _normalize_cm(x: jnp.ndarray) -> jnp.ndarray:

@@ -431,29 +431,30 @@ def _scatter_to_windows(g, localT, window, interpret):
     )(g, localT)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _windowed_take(out_shape, interpret, table, window_rows, localT):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _windowed_take(out_shape, interpret, impl, table, window_rows, localT):
     wins = jnp.take(table, window_rows, axis=0, mode="clip")   # [T, Wsz, C]
-    if _RESOLVE_IMPL == "xla":
+    if impl == "xla":
         out = _resolve_xla(wins, localT, table.dtype)
     else:
         out = _resolve(wins, localT, table.dtype, interpret)
     return out.reshape(out_shape + (table.shape[-1],))
 
 
-def _windowed_take_fwd(out_shape, interpret, table, window_rows, localT):
-    return (_windowed_take(out_shape, interpret, table, window_rows, localT),
+def _windowed_take_fwd(out_shape, interpret, impl, table, window_rows, localT):
+    return (_windowed_take(out_shape, interpret, impl, table, window_rows,
+                           localT),
             (window_rows, localT, table))
 
 
-def _windowed_take_bwd(out_shape, interpret, res, g):
+def _windowed_take_bwd(out_shape, interpret, impl, res, g):
     # `table` rides the residuals only for its shape/dtype (it is a saved
     # input either way — no extra memory).
     window_rows, localT, table = res
     T, Wsz = window_rows.shape
     MtK = localT.shape[-1]
     C = g.shape[-1]
-    if _RESOLVE_IMPL == "xla":
+    if impl == "xla":
         dwin = _scatter_xla(g.reshape(T, MtK, C), localT, Wsz)
     else:
         dwin = _scatter_to_windows(g.reshape(T, MtK, C), localT, Wsz,
@@ -467,13 +468,19 @@ _windowed_take.defvjp(_windowed_take_fwd, _windowed_take_bwd)
 
 
 def windowed_take(table: jnp.ndarray, edges: WindowedEdges,
-                  interpret: bool | None = None) -> jnp.ndarray:
-    """table[edges.nei] via the windowed path: [N, C] -> [M, K, C]."""
+                  interpret: bool | None = None,
+                  impl: str | None = None) -> jnp.ndarray:
+    """table[edges.nei] via the windowed path: [N, C] -> [M, K, C].
+
+    `impl` selects the resolve implementation ("xla"/"pallas") and is baked
+    into the custom_vjp's static args at trace time, so forward and backward
+    always agree; None defaults from the module setting (set_resolve_impl,
+    which the models seed from cfg.resolve_impl at the top of each trace)."""
     if interpret is None:
         interpret = _interpret_default()
     M, K = edges.nei.shape
-    return _windowed_take((M, K), interpret, table, edges.window_rows,
-                          edges.localT)
+    return _windowed_take((M, K), interpret, impl or _RESOLVE_IMPL, table,
+                          edges.window_rows, edges.localT)
 
 
 def windowed_take_cm(table: jnp.ndarray, edges: WindowedEdges) -> jnp.ndarray:

@@ -12,8 +12,11 @@ pcf_tpu/nn/layers._spatial_full); neighbor indices stay global, so results
 are bitwise-identical to the single-device forward.
 
 This scales single-scene INFERENCE to point counts whose activation pyramid
-exceeds one chip's HBM. Eval-only by design: training wants data parallelism
-(parallel/mesh.py), which shards whole scenes instead.
+exceeds one chip's HBM — and, via `make_spatial_train_step` (below,
+dryrun-tested in `__graft_entry__.dryrun_multichip`), the same row-sharding
+composes with data parallelism into a 2-D data×space mesh for training on
+scenes too large for one chip. Ordinary multi-scene training still wants
+plain data parallelism (parallel/mesh.py), which shards whole scenes.
 """
 
 from __future__ import annotations

@@ -60,9 +60,13 @@ def test_windowed_take_c_split_exact(monkeypatch):
     """Regression for the 2cm/PCF_Large scoped-vmem OOM: when one tile at
     full C exceeds the VMEM budget, _plan_grid splits the feature dim over a
     second grid axis. Force the split with a tiny budget and check both the
-    forward and the gradient stay exact."""
+    forward and the gradient stay exact. impl="pallas" is pinned explicitly
+    (the planner only runs for the Pallas resolve) and trace caches are
+    cleared first: a cached trace from an earlier test at the same shapes
+    would skip the Python retrace and the spy would record nothing."""
     import pcf_tpu.ops.window as W
 
+    jax.clear_caches()
     N, K, C = 512, 16, 96
     nei = _local_edges(N, K, 100, seed=7)
     we = build_windows(nei, tile=128, window=512)
@@ -80,7 +84,7 @@ def test_windowed_take_c_split_exact(monkeypatch):
     monkeypatch.setattr(W, "_SCOPED_VMEM_BUDGET", 2 ** 20)
     monkeypatch.setattr(W, "_plan_grid", spy_plan)
 
-    out, vjp = jax.vjp(lambda t: windowed_take(t, we), tab)
+    out, vjp = jax.vjp(lambda t: windowed_take(t, we, impl="pallas"), tab)
     (gw,) = vjp(out)
     gp = jax.grad(lambda t: (jnp.take(t, jnei, axis=0, mode="clip") ** 2).sum() / 2)(tab)
     assert any(cb < C for _, cb in plans), plans  # the split actually engaged

@@ -178,6 +178,10 @@ def main():
     ap.add_argument("--dump", type=str, default=None,
                     help="write the scheduled HLO text here for offline "
                          "re-analysis (audit(open(f).read()))")
+    ap.add_argument("--cm-geom", action="store_true",
+                    help="audit with cfg.cm_geom (channel-major stage "
+                         "geometry)")
+    ap.add_argument("--resolve", choices=["xla", "pallas"], default="xla")
     args = ap.parse_args()
 
     import jax
@@ -190,6 +194,8 @@ def main():
                            window_gather=True)
     cfg.window_gather = True
     cfg.compute_dtype = "bfloat16"
+    cfg.cm_geom = args.cm_geom
+    cfg.resolve_impl = args.resolve
     model = PointConvFormer_Segmentation(cfg)
 
     def apply(v, b, train, **kw):
