@@ -36,7 +36,8 @@ def _flops_of(compiled) -> float:
 def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
                  compute_dtype: str = "float32", scan_resblocks: bool = True,
                  window: bool = False, remat: bool = False,
-                 remat_layers: bool = False, skip_train: bool = False,
+                 remat_layers: bool = False, remat_deconv: bool = False,
+                 skip_train: bool = False,
                  fused_eval: bool = False, flat_geom: bool = False,
                  cm_geom: bool = False, resolve_impl: str = "xla"):
     import jax
@@ -59,6 +60,7 @@ def bench_config(use_pallas: bool, level0_points: int, n_scenes: int,
     cfg.scan_resblocks = scan_resblocks
     cfg.remat_blocks = remat
     cfg.remat_layers = remat_layers
+    cfg.remat_deconv = remat_deconv
     model = PointConvFormer_Segmentation(cfg)
 
     # The batch (geometry included) is an ARGUMENT: closed-over points/edges

@@ -37,6 +37,28 @@ Inference-only by design, like the reference's CUTLASS forward ("only
 recommended during testing", model_architecture.py:73-74): training keeps
 the XLA path with its exact BN-stat semantics and derived backward.
 
+STATUS (r5): RETIRED to pcf_tpu/attic — measured on chip in r4 at 0.247x
+the XLA windowed path (battery_results/fused_eval_probe.log; VPU-issue-
+bound: every elementwise phase runs on [MtK, c<=16] values, ~90% of each
+vreg wasted). The "v3" layout redesign (in-kernel lane-major [Mt, K*c]
+values, K-blocked weights) is CLOSED as infeasible/uneconomic on this
+toolchain, by two measurements and one counting argument:
+  1. The (chunk, C) -> (chunk/K, K*C) fold v3 needs after the resolve is
+     Mosaic's "unsupported shape cast" for every C != 128 (probed on the
+     real toolchain r4, windowed_take_flat, C in {6,8,16,32} f32+bf16).
+  2. The cast-free alternative — a block-diagonal one-hot
+     ([Mt, K*Wsz] @ [K*Wsz, K*C]) that emits lane-major directly — costs
+     K x the MXU work of the v2 resolve (the contraction duplicates both
+     operands K-fold): ~1.7 ms/layer at L0 scale vs the whole XLA layer
+     today. Dead by FLOP count before writing a line.
+  3. The stage-boundary layout-switch family was measured end-to-end in r5
+     (cm_geom, RESULTS.md r5): emitting a better in-chain layout loses
+     unless the NEW layout flows through every consumer — which on this
+     model means reformulating WeightNet/contraction, i.e. the XLA path
+     with different colors.
+The kernel stays importable (cfg.fused_eval still dispatches it; parity
+tests keep it honest) but is out of the hot tree and off every default.
+
 Covers all four conv layers (nn/layers.py):
   PCFLayer           guided (gd MLP), pe on VI (mlp_conv), Ct = Cx
   PointConvStridePE  pe on localized (pe_convs),           Ct = Cx + Cpe

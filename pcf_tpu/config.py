@@ -108,9 +108,10 @@ def get_default_configs(cfg: Config, num_level: int = 5, base_dim: int = 64) -> 
     # dataset at loader startup (data/scannet.estimate_window_sizes).
     cfg.setdefault("window_sizes", None)
     cfg.setdefault("window_margin", 1.3)
-    # Whole-layer inference megakernel (ops/pallas/eval_kernel.py): resolve +
-    # VI + WeightNet/PE/guidance MLPs (BN folded) + contraction + linear in
-    # one Pallas kernel. Inference-only; needs window_gather batches.
+    # Whole-layer inference megakernel (pcf_tpu/attic/eval_kernel.py —
+    # retired r5: measured 0.247x on chip, v3 closed as uneconomic): resolve
+    # + VI + WeightNet/PE/guidance MLPs (BN folded) + contraction + linear
+    # in one Pallas kernel. Inference-only; needs window_gather batches.
     cfg.setdefault("fused_eval", False)
     # Flat-lane stage geometry (r4): hoisted localize -> VI -> WeightNet in
     # k-major [M, K*c] lanes (unpadded) instead of [M, K, c] (lane-padded
@@ -160,6 +161,17 @@ def get_default_training_cfgs(cfg: Config) -> Config:
     cfg.setdefault("warmup_ratio", 1e-5)
     cfg.setdefault("milestones", None)
     cfg.setdefault("total_epoches", 300)
+    # Rematerialization of the residual-block bodies in the backward
+    # (nn/resstack.py). Measured default (r5 lever sweep,
+    # battery_results/train_levers.log): with the xla resolve, recomputing
+    # the blocks beats stashing their [M,K,C] intermediates — train 65.6 ->
+    # 63.4 ms AND 5.66 -> 1.64 GiB at flagship. remat_layers (all conv
+    # layers) measured +10 ms and stays opt-in for the 2cm/Large memory
+    # fits; remat_deconv (decoder only) measured +3.7 ms — kept as a knob,
+    # off.
+    cfg.setdefault("remat_blocks", True)
+    cfg.setdefault("remat_layers", False)
+    cfg.setdefault("remat_deconv", False)
     cfg.setdefault("grad_clip_norm", 10.0)
     cfg.setdefault("sync_bn", False)
     cfg.setdefault("manual_seed", 1)

@@ -42,8 +42,17 @@ def maybe_remat(cls, cfg):
     util/checkpoint.py). `train` sits at call position 11 for every conv
     layer (self = 0, transforms.py lifted-remat convention), so callers must
     pass ALL call args positionally when this knob is on.
+
+    cfg.remat_deconv: remat ONLY the decoder transpose convs — the r5 train
+    traffic audit puts the [M,K,C] deconv backward stashes at the top of the
+    step's HBM bill (bf16[40960,16,128] slice+copy pairs ~1 GiB,
+    battery_results/traffic_train_r5.log), while the encoder strided convs
+    that full remat_layers also recomputes measured a net LOSS (+10 ms,
+    RESULTS.md r5 remat table). Finer grain, same mechanism.
     """
-    if not cfg.get("remat_layers"):
+    if not (cfg.get("remat_layers")
+            or (cfg.get("remat_deconv")
+                and cls.__name__ == "PointConvTransposePE")):
         return cls
     import inspect
 

@@ -7,7 +7,7 @@ folds every Linear+BatchNorm pair into one affine transform (running-stat BN
 at inference is a constant scale/shift — the reference does the same fusion
 in replace_batchnorm, util/common_util.py:237-247, layer_utils.py:262-270),
 and runs the whole hot middle as one Pallas kernel
-(ops/pallas/eval_kernel.fused_layer_eval).
+(pcf_tpu/attic/eval_kernel.fused_layer_eval — retired from the hot tree r5, see its docstring).
 
 The standard path remains the only one taken during init (parameters are
 created there, so checkpoints are layout-identical) and during training.
@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pcf_tpu.ops.pallas.eval_kernel import fused_layer_eval
+from pcf_tpu.attic.eval_kernel import fused_layer_eval
 
 _BN_EPS = 1e-5
 

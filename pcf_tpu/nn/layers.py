@@ -200,7 +200,7 @@ class PointConv(nn.Module):
         out_mask = sparse_mask if sparse_xyz is not None else dense_mask
 
         if fused_eval_ok(cfg, self, nei_inds, train):
-            # whole-layer inference kernel (ops/pallas/eval_kernel.py):
+            # whole-layer inference kernel (pcf_tpu/attic/eval_kernel.py):
             # resolve + VI + WeightNet + contraction + linear(+BN fold) + ReLU
             new_feat = try_pointconv_fused_eval(
                 self, cfg, dense_feats, dense_xyz, dense_xyz_norm, nei_inds,

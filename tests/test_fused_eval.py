@@ -1,4 +1,4 @@
-"""Fused whole-layer inference kernel (ops/pallas/eval_kernel.py) parity.
+"""Fused whole-layer inference kernel (pcf_tpu/attic/eval_kernel.py) parity.
 
 Every conv layer's fused-eval path must reproduce the standard XLA path on
 the SAME parameters. Ground truth runs f32, where the kernel uses

@@ -38,7 +38,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from pcf_tpu.ops.window import build_windows
-    from pcf_tpu.ops.pallas.eval_kernel import fused_layer_eval
+    from pcf_tpu.attic.eval_kernel import fused_layer_eval
     from pcf_tpu.utils.timing import readback_overhead, time_fn
 
     print(f"backend: {jax.default_backend()} "
