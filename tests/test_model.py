@@ -150,6 +150,17 @@ def test_remat_layers_matches_plain(packed_batch, variant):
                                                 rtol=1e-4, atol=1e-5),
         grads0, grads1)
 
+    # remat_deconv (r5: decoder transpose-convs only) — same purity contract
+    vs2, logits2, loss2, grads2 = run(remat_deconv=True, **variant)
+    assert paths0 == jax.tree_util.tree_structure(vs2["params"])
+    np.testing.assert_allclose(np.asarray(logits0), np.asarray(logits2),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(float(loss0), float(loss2), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                                rtol=1e-4, atol=1e-5),
+        grads0, grads2)
+
 
 def test_segmentation_jit_compiles(packed_batch):
     """The full forward must be one compilable XLA program (static shapes)."""
