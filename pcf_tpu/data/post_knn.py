@@ -115,13 +115,24 @@ def build_pyramid_packed(
 
 def device_level_caps(cfg, cap0: int) -> tuple:
     """Per-level caps for the device pyramid: configured, or derived from the
-    level-0 cap with a ~2.8x shrink per level (conservative vs the ~4-8x a
-    grid-size doubling gives on real scans)."""
+    level-0 cap with a per-level shrink factor.
+
+    cfg.device_cap_shrink (default 2.8) is conservative vs the ~4-8x a
+    grid-size doubling gives on DENSE full scans (the trainer's
+    random-voxelize path). It is WRONG for 'multiple'-mode covering sets:
+    those are one-point-per-finest-voxel already, and a late (sparse)
+    covering set can keep every point distinct at every coarser grid —
+    measured worst-case shrink 1.0 on synth_demo voting items (the r5
+    battery's vote_dev_cold overflow). The voting evaluator therefore
+    derives per-batch caps from a host voxel-cascade count instead
+    (eval/voting.py::_cascade_caps) and pins them via cfg.device_level_caps;
+    build_pyramid_packed's overflow flag stays the loud safety net."""
     if cfg.get("device_level_caps"):
         return tuple(int(c) for c in cfg.device_level_caps)
+    shrink = float(cfg.get("device_cap_shrink", 2.8))
     caps = [cap0]
     for _ in range(1, len(cfg.grid_size)):
-        caps.append(max(256, -(-int(caps[-1] / 2.8) // 128) * 128))
+        caps.append(max(256, -(-int(caps[-1] / shrink) // 128) * 128))
     return tuple(caps)
 
 
@@ -136,13 +147,7 @@ def prepare(batch: PackedPyramid, cfg) -> PackedPyramid:
         return tuple(v) if isinstance(v, (list, tuple)) else (int(v),) * n
 
     if cfg.get("device_pyramid"):
-        cap0 = batch.points[0].shape[0]
-        full, overflow = build_pyramid_packed(
-            batch, tuple(float(g) for g in cfg.grid_size),
-            device_level_caps(cfg, cap0), int(cfg.BATCH_SIZE),
-            _k(cfg.get("K_self", 16)), _k(cfg.get("K_forward", 16)),
-            _k(cfg.get("K_propagate", 16)),
-            method=cfg.get("knn_method", "approx"))
+        full, overflow = prepare_flagged(batch, cfg)
         if cfg.get("check_pyramid_overflow", True) and bool(overflow):
             raise ValueError(
                 "device pyramid overflowed a level cap; raise "
@@ -152,3 +157,23 @@ def prepare(batch: PackedPyramid, cfg) -> PackedPyramid:
                               _k(cfg.get("K_forward", 16)),
                               _k(cfg.get("K_propagate", 16)),
                               method=cfg.get("knn_method", "approx"))
+
+
+def prepare_flagged(batch: PackedPyramid, cfg):
+    """Device-pyramid build WITHOUT the host-synced overflow check: returns
+    (full_batch, overflow_flag) with the flag still on device. Traceable —
+    callers that fuse the pyramid build with the model forward into one jit
+    (eval/voting.py: one dispatch per chunk instead of ~10, which is the
+    wall on relay-attached chips) check the flag after the fused call."""
+    n = len(cfg.grid_size)
+
+    def _k(v):
+        return tuple(v) if isinstance(v, (list, tuple)) else (int(v),) * n
+
+    cap0 = batch.points[0].shape[0]
+    return build_pyramid_packed(
+        batch, tuple(float(g) for g in cfg.grid_size),
+        device_level_caps(cfg, cap0), int(cfg.BATCH_SIZE),
+        _k(cfg.get("K_self", 16)), _k(cfg.get("K_forward", 16)),
+        _k(cfg.get("K_propagate", 16)),
+        method=cfg.get("knn_method", "approx"))

@@ -122,9 +122,76 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
         # a static count >= actual just leaves empty segments)
         _pcfg = Config(cfg)
         _pcfg.BATCH_SIZE = max(vote_batch, 1)
+        # Covering sets do NOT shrink under coarser grids (a sparse late set
+        # keeps every point distinct at every level — measured worst-case
+        # shrink 1.0 on synth_demo voting items, r5), so the trainer's
+        # shrink-derived caps overflow (the r5 battery's vote_dev_cold
+        # failure). But pinning every level to cap0 makes the device pyramid
+        # pay L0-scale padded kNN at EVERY level (measured: warm wall 524 s,
+        # only 30 s of it model forwards). Instead, each batch derives caps
+        # from a cheap HOST voxel-cascade count of its own points (numpy
+        # groupby per level, ~ms — the expensive parts, barycenters + kNN,
+        # stay on device), bucketed to 512 rows so the number of distinct
+        # compile signatures stays bounded. The device builder's overflow
+        # check remains the loud safety net.
+        import numpy as _np
+
+        from pcf_tpu.ops.subsample import grid_subsampling as _host_subsample
+
+        def _cascade_caps(b):
+            pts = _np.asarray(b.points[0])
+            mask = _np.asarray(b.masks[0])
+            bids = _np.asarray(b.bids[0])
+            grids = [float(g) for g in cfg.grid_size]
+            totals = [0] * (len(grids) - 1)
+            for sid in _np.unique(bids[mask]):
+                cur = pts[mask & (bids == sid)]
+                for l, g in enumerate(grids[1:]):
+                    cur = _host_subsample(cur, sampleDl=g)
+                    totals[l] += cur.shape[0]
+            caps = [pts.shape[0]]
+            for t in totals:
+                caps.append(int(max(256, -(-(t + 128) // 512) * 512)))
+            return tuple(caps)
+
+        def _caps_cfg(b):
+            if _pcfg.get("device_level_caps"):
+                return _pcfg
+            pcfg_b = Config(_pcfg)
+            pcfg_b.device_level_caps = _cascade_caps(b)
+            return pcfg_b
 
         def _prepare(b, _cfg_ignored=None):
-            return _post_prepare(b, _pcfg)
+            return _post_prepare(b, _caps_cfg(b))
+
+        # One DISPATCH per chunk: the pyramid build (subsample + kNN per
+        # level) issues ~10 separate device calls; on a relay-attached chip
+        # each call pays the relay round-trip, and 615 chunks x ~10 RTTs IS
+        # the measured wall (dev voting warm 524-895 s with only 30-60 s of
+        # device time). Fusing prepare + forward + softmax into one jitted
+        # program per caps signature collapses that to one upload + one
+        # readback per chunk. The overflow flag rides the outputs and is
+        # checked after the (blocking) readback — same loud failure, no
+        # extra sync.
+        from pcf_tpu.data.post_knn import prepare_flagged as _prep_flagged
+
+        _fused_cache: dict = {}
+
+        def _fused_for(caps_cfg):
+            key = tuple(caps_cfg.get("device_level_caps") or ())
+            fn = _fused_cache.get(key)
+            if fn is None:
+                def prep_fwd(variables, b):
+                    full, ovf = _prep_flagged(b, caps_cfg)
+                    # nested jit inlines: one compiled program, one dispatch
+                    probs = fwd(variables, full.feats, list(full.points),
+                                list(full.edges_self), list(full.edges_forward),
+                                list(full.edges_propagate), list(full.norms),
+                                list(full.masks))
+                    return probs, ovf
+                fn = jax.jit(prep_fwd)
+                _fused_cache[key] = fn
+            return fn
 
     inter_sum = np.zeros(cfg.num_classes)
     union_sum = np.zeros(cfg.num_classes)
@@ -184,6 +251,27 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                 submit(idx + 1) if idx + 1 < n_scenes else [])
             jobs = [j for f in futs for j in f.result()]
 
+            # One chunk in flight: drain chunk i's (async) results only
+            # after chunk i+1 has been dispatched, so the host-side readback
+            # + vote accumulation overlaps the chip computing the next chunk
+            # (relay round-trips dominate otherwise; RESULTS.md r5 voting).
+            in_flight = None  # (probs, ovf_or_None, bids, group, t_dispatch)
+
+            def _drain(entry):
+                nonlocal fwd_s, n_fwd
+                probs, ovf, bids, group, t0 = entry
+                jax.block_until_ready(probs)
+                if ovf is not None and bool(ovf):
+                    raise ValueError(
+                        "device pyramid overflowed a level cap; raise "
+                        "cfg.device_level_caps (or MAX_POINTS_NUM)")
+                fwd_s += _time.time() - t0
+                n_fwd += 1
+                pr = np.asarray(probs)
+                for j, (_, crop_idx) in enumerate(group):
+                    accum[crop_idx] += pr[bids == j]
+                    counts[crop_idx] += 1.0
+
             for g0 in range(0, len(jobs), vote_batch):
                 group = jobs[g0:g0 + vote_batch]
                 batch = pack_scenes([j[0] for j in group],
@@ -192,26 +280,33 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                 if device_prep:
                     # on-device pyramid/edges (items carry level 0 only) —
                     # the per-(scene, rotation) covering-set builds were the
-                    # 5x host-bound term in the r3 voting wall (357 s wall vs
-                    # 70 s device, RESULTS.md r3); this moves them onto the
-                    # chip like the trainer's _post_knn_fn / simple eval
-                    batch = _prepare(batch, cfg)
-                ensure_variables(batch)
-                t0 = _time.time()
-                probs = fwd(variables, batch.feats, list(batch.points),
-                            list(batch.edges_self), list(batch.edges_forward),
-                            list(batch.edges_propagate), list(batch.norms),
-                            list(batch.masks))
-                jax.block_until_ready(probs)
-                fwd_s += _time.time() - t0
-                n_fwd += 1
+                    # 5x host-bound term in the r3 voting wall (357 s wall
+                    # vs 70 s device, RESULTS.md r3). Fused with the forward
+                    # into ONE dispatch per chunk (r5: the per-level device
+                    # calls' relay round-trips were the de-hosted wall).
+                    caps_cfg = _caps_cfg(batch)
+                    if variables is None:
+                        ensure_variables(_post_prepare(batch, caps_cfg))
+                    step_fn = _fused_for(caps_cfg)
+                    t0 = _time.time()
+                    probs, ovf = step_fn(variables, batch)
+                else:
+                    ensure_variables(batch)
+                    t0 = _time.time()
+                    probs = fwd(variables, batch.feats, list(batch.points),
+                                list(batch.edges_self),
+                                list(batch.edges_forward),
+                                list(batch.edges_propagate),
+                                list(batch.norms), list(batch.masks))
+                    ovf = None
                 # rows of scene j are contiguous and in input order; bid == j
                 # selects exactly its valid rows
-                bids = np.asarray(batch.bids[0])
-                pr = np.asarray(probs)
-                for j, (_, crop_idx) in enumerate(group):
-                    accum[crop_idx] += pr[bids == j]
-                    counts[crop_idx] += 1.0
+                entry = (probs, ovf, np.asarray(batch.bids[0]), group, t0)
+                if in_flight is not None:
+                    _drain(in_flight)
+                in_flight = entry
+            if in_flight is not None:
+                _drain(in_flight)
 
             assert counts.min() > 0, "voting must cover every raw point"
             pred = accum.argmax(-1)
@@ -239,7 +334,9 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
     miou = float(iou.mean())
     logger.info(
         f"Voting wall {_time.time() - t_start:.1f}s (device+dispatch "
-        f"{fwd_s:.1f}s across {n_fwd} forwards, vote_batch={vote_batch})")
+        f"{fwd_s:.1f}s across {n_fwd} forwards — dispatch->drain spans, "
+        f"overlapping under the one-in-flight pipeline; "
+        f"vote_batch={vote_batch})")
     logger.info(f"Voting mIoU ({vote_num} votes): {miou:.4f}")
     return miou
 

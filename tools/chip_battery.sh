@@ -4,6 +4,14 @@
 set -u
 mkdir -p /tmp/battery
 cd /root/repo
+# driver.log is append-only (tee -a below) and /tmp/battery persists across
+# sessions — without this truncation each battery run inherits the previous
+# run's transcript, which is exactly how the committed driver.log came to
+# contradict adjacent per-stage logs in r2-r4 (VERDICT r4 weak #5). One
+# transcript per run, stamped.
+: > /tmp/battery/driver.log
+echo "=== battery start $(date -u +%Y-%m-%dT%H:%M:%SZ) git=$(git rev-parse --short HEAD)" \
+  | tee -a /tmp/battery/driver.log
 
 run() {
   name=$1; shift
