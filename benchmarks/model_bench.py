@@ -164,6 +164,9 @@ def main():
     parser.add_argument("--remat-layers", action="store_true",
                         help="cfg.remat_layers (needed for train at "
                              "batch >= 8 on a 16 GiB v5e)")
+    parser.add_argument("--remat-deconv", action="store_true",
+                        help="cfg.remat_deconv (decoder transpose convs "
+                             "only; measured +3.7 ms at flagship, r5)")
     parser.add_argument("--eval-only", action="store_true",
                         help="skip the train step (batch-sweep eval points)")
     parser.add_argument("--fused-eval", action="store_true",
@@ -194,6 +197,7 @@ def main():
     rows = [bench_config(up, args.points, args.scenes, args.dtype,
                          scan_resblocks=not args.unroll, window=args.window,
                          remat=args.remat, remat_layers=args.remat_layers,
+                         remat_deconv=args.remat_deconv,
                          skip_train=args.eval_only,
                          fused_eval=args.fused_eval, flat_geom=args.flat_geom,
                          cm_geom=args.cm_geom, resolve_impl=args.resolve)

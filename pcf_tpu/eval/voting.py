@@ -151,38 +151,58 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                     totals[l] += cur.shape[0]
             caps = [pts.shape[0]]
             for t in totals:
-                caps.append(int(max(256, -(-(t + 128) // 512) * 512)))
+                # +128 slack for device/host cascade knife-edge differences,
+                # bucketed to 512 (so the bucket is also the >=512 floor)
+                caps.append(int(-(-(t + 128) // 512) * 512))
             return tuple(caps)
 
         def _caps_cfg(b):
-            if _pcfg.get("device_level_caps"):
+            if not _pcfg.get("device_pyramid") or _pcfg.get("device_level_caps"):
                 return _pcfg
             pcfg_b = Config(_pcfg)
             pcfg_b.device_level_caps = _cascade_caps(b)
             return pcfg_b
 
-        def _prepare(b, _cfg_ignored=None):
-            return _post_prepare(b, _caps_cfg(b))
-
-        # One DISPATCH per chunk: the pyramid build (subsample + kNN per
-        # level) issues ~10 separate device calls; on a relay-attached chip
-        # each call pays the relay round-trip, and 615 chunks x ~10 RTTs IS
-        # the measured wall (dev voting warm 524-895 s with only 30-60 s of
-        # device time). Fusing prepare + forward + softmax into one jitted
-        # program per caps signature collapses that to one upload + one
-        # readback per chunk. The overflow flag rides the outputs and is
-        # checked after the (blocking) readback — same loud failure, no
-        # extra sync.
+        # One DISPATCH per chunk: under device_pyramid, the pyramid build
+        # (subsample + kNN per level) issues ~10 separate device calls; on a
+        # relay-attached chip each call pays the relay round-trip, and 615
+        # chunks x ~10 RTTs IS the measured wall (dev voting warm 524-895 s
+        # with only 30-60 s of device time). Fusing prepare + forward +
+        # softmax into one jitted program per caps signature collapses that
+        # to one upload + one readback per chunk. The overflow flag rides
+        # the outputs and is checked after the (blocking) readback — same
+        # loud failure, no extra sync. post_knn-only configs (host-built
+        # pyramid, device edges: ~3 device calls) fuse the same way but
+        # keep their host pyramid semantics via compute_knn_packed.
+        from pcf_tpu.data.post_knn import compute_knn_packed as _knn_packed
         from pcf_tpu.data.post_knn import prepare_flagged as _prep_flagged
 
         _fused_cache: dict = {}
 
         def _fused_for(caps_cfg):
-            key = tuple(caps_cfg.get("device_level_caps") or ())
+            key = tuple(caps_cfg.get("device_level_caps") or ()) \
+                if caps_cfg.get("device_pyramid") else "post_knn"
             fn = _fused_cache.get(key)
             if fn is None:
                 def prep_fwd(variables, b):
-                    full, ovf = _prep_flagged(b, caps_cfg)
+                    if caps_cfg.get("device_pyramid"):
+                        full, ovf = _prep_flagged(b, caps_cfg)
+                    else:
+                        # post_knn mode: pyramid levels were built on the
+                        # host (scannet._build_item); only the edges are
+                        # computed here, fused with the forward
+                        n = len(caps_cfg.grid_size)
+
+                        def _k(v):
+                            return (tuple(v) if isinstance(v, (list, tuple))
+                                    else (int(v),) * n)
+
+                        full = _knn_packed(
+                            b, _k(caps_cfg.get("K_self", 16)),
+                            _k(caps_cfg.get("K_forward", 16)),
+                            _k(caps_cfg.get("K_propagate", 16)),
+                            method=caps_cfg.get("knn_method", "approx"))
+                        ovf = None
                     # nested jit inlines: one compiled program, one dispatch
                     probs = fwd(variables, full.feats, list(full.points),
                                 list(full.edges_self), list(full.edges_forward),
@@ -218,9 +238,11 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                     # would keep stale edges into points outside the
                     # chunk; the reference instead chunks pre-pyramid,
                     # test_ScanNet_voting.py:35-73 — same semantics.)
-                    # _build_item is mode-aware: under device_pyramid /
-                    # post_knn it ships level 0 only and the pyramid is
-                    # rebuilt on the chip below.
+                    # _build_item is mode-aware: under device_pyramid it
+                    # ships level 0 only (pyramid + edges rebuilt on the
+                    # chip below); under post_knn it ships the host-built
+                    # pyramid levels and only the kNN edges are computed on
+                    # device (fused with the forward).
                     s, e = chunk.pop("_slice")
                     chunk_item = ds._build_item(
                         item["point_list"][0][s:e],
@@ -261,7 +283,8 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                 nonlocal fwd_s, n_fwd
                 probs, ovf, bids, group, t0 = entry
                 jax.block_until_ready(probs)
-                if ovf is not None and bool(ovf):
+                if (ovf is not None and bool(ovf)
+                        and cfg.get("check_pyramid_overflow", True)):
                     raise ValueError(
                         "device pyramid overflowed a level cap; raise "
                         "cfg.device_level_caps (or MAX_POINTS_NUM)")
@@ -278,12 +301,13 @@ def evaluate_voting(cfg, pretrain_path: str | None = None,
                                     bucket_multiple=cfg.bucket_multiple,
                                     ignore_label=cfg.ignore_label)
                 if device_prep:
-                    # on-device pyramid/edges (items carry level 0 only) —
-                    # the per-(scene, rotation) covering-set builds were the
-                    # 5x host-bound term in the r3 voting wall (357 s wall
-                    # vs 70 s device, RESULTS.md r3). Fused with the forward
-                    # into ONE dispatch per chunk (r5: the per-level device
-                    # calls' relay round-trips were the de-hosted wall).
+                    # device_pyramid: items carry level 0 only, pyramid +
+                    # edges built on chip; post_knn: host pyramid, edges on
+                    # chip. The per-(scene, rotation) covering-set builds
+                    # were the 5x host-bound term in the r3 voting wall
+                    # (357 s wall vs 70 s device, RESULTS.md r3). Fused with
+                    # the forward into ONE dispatch per chunk (r5: the
+                    # per-level device calls' relay RTTs were the wall).
                     caps_cfg = _caps_cfg(batch)
                     if variables is None:
                         ensure_variables(_post_prepare(batch, caps_cfg))

@@ -272,6 +272,48 @@ def test_voting_eval_device_pyramid(scene_dir, tmp_path):
     assert any(f.endswith("_probs.npy") for f in os.listdir(cfg.eval_path))
 
 
+def test_voting_eval_post_knn_keeps_host_pyramid(scene_dir, tmp_path):
+    """post_knn-only voting (host-built pyramid, device edges): the r5
+    fused dispatch must NOT reroute this mode through the device-pyramid
+    rebuild (r5 review finding) — the host pyramid's subsample semantics
+    are the mode's contract. Accumulation must match the plain host path
+    bitwise on the same scene and variables."""
+    import jax
+
+    from pcf_tpu.data.scannet import ScanNetDataset, PackedLoader
+    from pcf_tpu.eval.voting import evaluate_voting
+    from pcf_tpu.models import PointConvFormer_Segmentation
+    from pcf_tpu.train.state import create_train_state, make_optimizer
+
+    cfg = _cfg(scene_dir, post_knn=True, knn_method="exact")
+    ds = ScanNetDataset(cfg, "validation", seed=0)
+    loader = PackedLoader(ds, 1, bucket_multiple=256, shuffle=False,
+                          drop_last=False)
+    batch = next(iter(loader))
+    from pcf_tpu.data.post_knn import prepare
+    batch = prepare(batch, cfg)
+    model = PointConvFormer_Segmentation(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), batch.feats, list(batch.points),
+        list(batch.edges_self), list(batch.edges_forward),
+        list(batch.edges_propagate), list(batch.norms),
+        masks=list(batch.masks), train=False)
+    tx, _ = make_optimizer(cfg, 1)
+    state = create_train_state(variables, tx)
+
+    cfg.eval_path = str(tmp_path / "vote_pk")
+    miou = evaluate_voting(cfg, state=state, vote_num=2, max_scenes=1)
+    assert 0.0 <= miou <= 1.0
+
+    # the host (no post_knn) path with exact kNN must agree: post_knn is
+    # an execution-placement change, not a semantics change
+    cfg_host = _cfg(scene_dir, knn_method="exact")
+    cfg_host.eval_path = str(tmp_path / "vote_host")
+    miou_host = evaluate_voting(cfg_host, state=state, vote_num=2,
+                                max_scenes=1)
+    assert miou == pytest.approx(miou_host, abs=1e-6)
+
+
 def test_pinned_level_caps_identical_shapes(scene_dir):
     """Mesh-mode requirement (VERDICT r1 #4): with pin_level_caps, every
     batch from both loaders has identical static shapes, so stack_batches

@@ -141,9 +141,10 @@ def main():
               f"GiB, temps {mem.temp_size_in_bytes/2**30:.2f} GiB, "
               f"output {mem.output_size_in_bytes/2**30:.2f} GiB")
 
-    # The O(N) statement: gathered tables are full-size per chip. Find the
-    # biggest single gathered buffer and scale.
-    biggest = max((b for (_, _), (_, b) in rows.items()), default=0)
+    # The O(N) statement: gathered tables are full-size per chip. Largest
+    # SINGLE gathered buffer (not the per-shape aggregate, which multiplies
+    # by instruction count).
+    biggest = max((_shape_bytes(shape) for shape, _ in ags), default=0)
     free_gib = 12.0  # ~16 GiB v5e minus runtime/weights/activations slack
     print(f"\nO(N) limit: largest all_gathered table {biggest/2**20:.1f} MiB "
           f"at N0={args.points}; full-table-per-chip design crosses "
